@@ -1,0 +1,22 @@
+"""cuda_qr_tpu: a TPU-native blocked-Householder QR factorization library.
+
+Built from scratch with the capabilities of the CUDA research prototype
+brian-kelley/CUDA-QR (MMQR) -- see SURVEY.md for the structural map and
+BASELINE.md for the reference's numbers.  Compute path: JAX/XLA with Pallas
+kernels for the panel factorization; runtime verification against a native
+C99 oracle implementing the reference's sliding-panel algorithm.
+"""
+
+from .models.qr import qr, qr_factor, QRResult
+from .ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
+from .ops.householder import geqr2, larfb, larft, make_reflector, unpack_r, unpack_v
+from .utils.config import DEFAULT_CONFIG, QRConfig
+from .utils.verify import QRCheck, check_qr
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "qr", "qr_factor", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
+    "extract_r", "geqr2", "larfb", "larft", "make_reflector", "unpack_r",
+    "unpack_v", "QRConfig", "DEFAULT_CONFIG", "QRCheck", "check_qr",
+]

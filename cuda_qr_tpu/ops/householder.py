@@ -1,0 +1,178 @@
+"""Householder reflector generation and compact-WY accumulation (pure jnp).
+
+This is the semantic core of the library: the exact reflector conventions of
+the reference (qr.cu:169-197, SURVEY.md Appendix A), expressed as masked,
+fully-vectorized JAX ops so the same code runs on TPU (VPU row vectors),
+under vmap (batched TSQR leaves), and on CPU for oracle comparison.
+
+Conventions (matching the reference bit-for-bit in exact arithmetic):
+    sign  = -1 if x0 < 0 else +1
+    u     = x0 + sign * ||x||
+    tau   = sign * u / ||x||
+    diag  = -sign * ||x||          (stored R diagonal entry)
+    tail  = x_tail / u             (stored below the diagonal; v0 == 1 implicit)
+    H     = I - tau * v v^T
+Two deliberate departures, both robustness fixes for holes verified in the
+reference (SURVEY.md S4): the norm is computed with max-abs scaling (the
+reference's raw sum of squares at qr.cu:146 overflows for large fp32
+columns), and a zero column yields tau = 0 / H = I instead of the
+reference's 0/0 NaN at qr.cu:173.
+
+Compact-WY: T is the LAPACK-forward triangular factor with
+Q = H_0 H_1 ... H_{k-1} = I - V T V^T.  The reference carries W with
+Q = I + W Y^T (qr.cu:202-266); the two are related by W = -V T, Y = V,
+so T is strictly the cheaper (k x k triangular vs m x k dense) carrier of
+the same operator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Precision = jax.lax.Precision
+
+
+def _row_iota(m: int, dtype=jnp.int32):
+    return jax.lax.broadcasted_iota(dtype, (m, 1), 0)[:, 0]
+
+
+def make_reflector(col: jnp.ndarray, d) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Householder reflector for rows >= d of ``col``.
+
+    Args:
+      col: (m,) the column (entries above row d are ignored).
+      d: diagonal row index (may be traced).
+    Returns:
+      (v, tau, beta): full-length v with v[d] == 1 and zeros above d,
+      scalar tau, scalar beta (the new diagonal entry -sign*||x||).
+    """
+    m = col.shape[0]
+    r = _row_iota(m)
+    below = r > d
+    x0 = jax.lax.dynamic_index_in_dim(col, d, keepdims=False)
+    tail = jnp.where(below, col, 0)
+
+    # Scaled norm: ||x|| = s * ||x/s||, s = max|x_i| (overflow guard).
+    scale = jnp.maximum(jnp.max(jnp.abs(tail)), jnp.abs(x0))
+    s = jnp.where(scale > 0, scale, 1).astype(col.dtype)
+    ts = tail / s
+    x0s = x0 / s
+    norm = jnp.sqrt(x0s * x0s + jnp.sum(ts * ts)) * s
+
+    sign = jnp.where(x0 < 0, -1, 1).astype(col.dtype)
+    u = x0 + sign * norm
+    degenerate = norm <= 0  # zero column => H = I
+    safe_norm = jnp.where(degenerate, 1, norm)
+    safe_u = jnp.where(degenerate, 1, u)
+    tau = jnp.where(degenerate, 0, sign * u / safe_norm)
+    beta = jnp.where(degenerate, x0, -sign * norm)
+    v = jnp.where(below, col / safe_u, 0)
+    v = jnp.where(degenerate, jnp.zeros_like(v), v) + (r == d).astype(col.dtype)
+    return v, tau, beta
+
+
+@partial(jax.jit, static_argnames=("row_offset", "precision"))
+def geqr2(A: jnp.ndarray, row_offset: int = 0,
+          precision: Precision = Precision.HIGHEST):
+    """Unblocked Householder QR of A's lower-right block (rows >= row_offset).
+
+    Column j is reduced over rows >= row_offset + j; rows above ``row_offset``
+    are untouched (used by the blocked driver to factor a full-height panel
+    whose live region starts mid-matrix).  Packed LAPACK storage: R on/above
+    the (offset-shifted) diagonal, normalized reflector tails below, one tau
+    per column.  Semantics of the reference's mmqr inner column loop
+    (qr.cu:102-304) without the sliding-panel carve-up.
+
+    Returns (packed, tau) with packed.shape == A.shape, tau.shape == (n,).
+    """
+    m, n = A.shape
+    r = _row_iota(m)
+
+    def body(j, carry):
+        A, tau = carry
+        d = row_offset + j
+        col = jax.lax.dynamic_slice_in_dim(A, j, 1, axis=1)[:, 0]
+        v, tj, beta = make_reflector(col, d)
+        # Apply H = I - tau v v^T to all columns, masked to strictly-right
+        # ones (left columns are finalized packed V/R and must not move).
+        w = tj * jnp.einsum("i,ij->j", v, A, precision=precision)
+        cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] > j)
+        A = A - jnp.outer(v, jnp.where(cmask, w, 0))
+        # Write packed column j: R above d from earlier reflectors (already
+        # in col), beta at d, normalized tail below.
+        newcol = jnp.where(r < d, col, jnp.where(r == d, beta, v))
+        A = jax.lax.dynamic_update_slice_in_dim(A, newcol[:, None], j, axis=1)
+        tau = jax.lax.dynamic_update_slice_in_dim(tau, tj[None], j, axis=0)
+        return A, tau
+
+    tau0 = jnp.zeros((n,), A.dtype)
+    A, tau = jax.lax.fori_loop(0, n, body, (A, tau0))
+    return A, tau
+
+
+def unpack_v(packed: jnp.ndarray, row_offset: int = 0) -> jnp.ndarray:
+    """Recover the full V matrix (unit diagonal, zeros above) from packed
+    storage -- the masked-read equivalent of the reference's shared-memory Y
+    reconstruction with implicit 0/1 entries (qr.cu:356-404)."""
+    m, n = packed.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    d = c + row_offset
+    return jnp.where(r > d, packed, jnp.where(r == d, 1, 0).astype(packed.dtype))
+
+
+def unpack_r(packed: jnp.ndarray, row_offset: int = 0) -> jnp.ndarray:
+    m, n = packed.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    return jnp.where(r <= c + row_offset, packed, 0)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def larft(V: jnp.ndarray, tau: jnp.ndarray,
+          precision: Precision = Precision.HIGHEST) -> jnp.ndarray:
+    """Forward compact-WY T factor: Q = I - V T V^T, T upper triangular.
+
+    Recurrence T[:j, j] = -tau_j T[:j, :j] (V[:, :j]^T v_j), T[j, j] = tau_j
+    -- the same operator the reference accumulates column-by-column as
+    W = -V T (z-column update, qr.cu:202-266), but O(k^2) storage instead of
+    O(m k).  The Gram matrix V^T V is formed once so the loop is k small
+    triangular matvecs rather than k tall GEMVs.
+    """
+    n = V.shape[1]
+    G = jnp.einsum("ij,ik->jk", V, V, precision=precision)  # (n, n)
+    idx = jnp.arange(n)
+
+    def body(j, T):
+        tj = jax.lax.dynamic_index_in_dim(tau, j, keepdims=False)
+        g = jax.lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
+        g = jnp.where(idx < j, g, 0)
+        tcol = -tj * (T @ g) + tj * (idx == j).astype(V.dtype)
+        return jax.lax.dynamic_update_slice_in_dim(T, tcol[:, None], j, axis=1)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros((n, n), V.dtype))
+
+
+def larfb(B: jnp.ndarray, V: jnp.ndarray, T: jnp.ndarray, transpose: bool = True,
+          precision: Precision = Precision.HIGHEST) -> jnp.ndarray:
+    """Apply the block reflector to B: Q^T B (transpose=True) or Q B.
+
+    Q^T B = B - V T^T (V^T B); Q B = B - V T (V^T B).  This is the
+    reference's trailing update A <- (I + Y W^T) A (qr.cu:441-462) recast as
+    three MXU GEMMs instead of a per-column PR x PR x PC scalar triple loop.
+    """
+    W = jnp.einsum("ij,ik->jk", V, B, precision=precision)       # V^T B
+    Tm = T.T if transpose else T
+    W = jnp.einsum("ij,jk->ik", Tm, W, precision=precision)      # T^T (V^T B)
+    return B - jnp.einsum("ij,jk->ik", V, W, precision=precision)
+
+
+def apply_q(B: jnp.ndarray, packed: jnp.ndarray, T: jnp.ndarray,
+            row_offset: int = 0, transpose: bool = True,
+            precision: Precision = Precision.HIGHEST) -> jnp.ndarray:
+    """larfb on packed storage."""
+    V = unpack_v(packed, row_offset)
+    return larfb(B, V, T, transpose=transpose, precision=precision)

@@ -1,0 +1,69 @@
+"""Configuration for the TPU QR library.
+
+The reference controls its shape-/precision-behavior with compile-time macros
+(``Scalar`` at qr.cu:17, panel dims ``PR``/``PC`` at qr.cu:21-23, ``trials``
+at qr.cu:25).  Here the same knobs are a frozen dataclass resolved at trace
+time: every field is static under ``jax.jit``, so it plays the same
+"compile-time constant" role the macros do, while remaining a runtime value
+in Python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# MXU is 128x128 and the VPU lane width is 128 -- panel width defaults to one
+# full lane/MXU tile (BASELINE.json config 2: "panel width 128").
+LANE = 128
+
+
+def _default_interpret() -> bool:
+    """Pallas kernels must run in interpreter mode off-TPU (CPU tests)."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover - backend probing never fails in CI
+        return True
+
+
+@dataclasses.dataclass(frozen=True)
+class QRConfig:
+    """Static configuration for blocked QR.
+
+    Attributes:
+      panel_width: columns per panel (the reference's ``PC``, qr.cu:23).
+        Defaults to 128 to match the MXU tile / VPU lane width.
+      block_rows: row-block size used by TSQR leaf factorizations (the moral
+        equivalent of the reference's ``PR``, qr.cu:21 -- the tall dimension
+        of a fast-memory-resident tile).
+      dtype: computation dtype.
+      precision: matmul precision for fp32 inputs on TPU.  ``HIGHEST`` uses
+        6-pass bf16 emulation so fp32 residuals hold at LAPACK tolerance.
+      use_pallas: route panel factorization through the Pallas kernel (True)
+        or the pure-jnp reference path (False).
+      interpret: run Pallas kernels in interpreter mode (required on CPU).
+      max_vmem_panel_rows: tallest panel the Pallas geqrt kernel will hold
+        resident in VMEM; taller panels fall back to TSQR panel factorization.
+    """
+
+    panel_width: int = LANE
+    block_rows: int = 1024
+    dtype: jnp.dtype = jnp.float32
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    use_pallas: bool = False  # flipped to True once the Pallas geqrt kernel lands
+    interpret: Optional[bool] = None
+    max_vmem_panel_rows: int = 16384
+
+    def resolved_interpret(self) -> bool:
+        if self.interpret is None:
+            return _default_interpret()
+        return self.interpret
+
+    def replace(self, **kw) -> "QRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = QRConfig()

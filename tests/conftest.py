@@ -1,0 +1,31 @@
+"""Test environment: 8 virtual CPU devices, fp64 enabled.
+
+Distributed (TSQR/CAQR) code is exercised on a simulated mesh -- the
+TPU-world analog of the reference's "run the CPU oracle before the GPU"
+discipline (SURVEY.md S4): XLA_FLAGS=--xla_force_host_platform_device_count=8
+stands in for a v5e/v5p ICI mesh, and Pallas kernels run in interpreter mode.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the axon TPU backend and sets
+# jax_platforms programmatically; override it so tests run on the virtual
+# 8-device CPU mesh regardless of import order.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12)  # the reference's srand(12), qr.cu:765

@@ -1,0 +1,80 @@
+"""Blocked QR driver (geqrf/orgqr/ormqr) properties.
+
+Includes the misalignment cases that silently corrupt the reference
+(SURVEY.md S4): arbitrary m and n must work via internal padding.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_qr_tpu.ops.blocked import extract_r, orgqr, ormqr, qr_blocked
+from cuda_qr_tpu.utils.config import QRConfig
+from cuda_qr_tpu.utils.verify import check_qr
+
+CFG32 = QRConfig(panel_width=16, dtype=jnp.float32, use_pallas=False)
+CFG64 = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False)
+
+
+@pytest.mark.parametrize("m,n", [
+    (32, 32), (64, 48), (48, 16),
+    (30, 17),   # misaligned both dims (reference would corrupt, SURVEY.md S4)
+    (100, 100), (37, 5), (16, 16),
+])
+@pytest.mark.parametrize("cfg", [CFG32, CFG64], ids=["f32", "f64"])
+def test_blocked_qr(rng, m, n, cfg):
+    A = rng.standard_normal((m, n)).astype(cfg.dtype)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < max(n, 16) * chk.eps, (m, n, chk)
+    assert chk.orthogonality < 4 * max(n, 16) * chk.eps, (m, n, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_blocked_matches_unblocked(rng):
+    """Blocked and unblocked paths must produce identical packed factors."""
+    from cuda_qr_tpu.ops.householder import geqr2
+    m, n = 48, 32
+    A = rng.standard_normal((m, n))
+    fac = qr_blocked(jnp.asarray(A), CFG64)
+    packed_u, tau_u = geqr2(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(fac.packed[:m, :n]),
+                               np.asarray(packed_u), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fac.taus).ravel(),
+                               np.asarray(tau_u), atol=1e-13)
+
+
+def test_ormqr_roundtrip(rng):
+    m, n, p = 40, 24, 7
+    A = rng.standard_normal((m, n))
+    B = rng.standard_normal((m, p))
+    fac = qr_blocked(jnp.asarray(A), CFG64)
+    QtB = ormqr(fac, jnp.asarray(B), transpose=True, config=CFG64)
+    back = ormqr(fac, QtB, transpose=False, config=CFG64)
+    np.testing.assert_allclose(np.asarray(back), B, atol=1e-12)
+    # Q^T B via explicit Q must agree (full-height application).
+    Qfull = orgqr(fac, m, m, CFG64)
+    np.testing.assert_allclose(np.asarray(QtB), np.asarray(Qfull.T @ B),
+                               atol=1e-12)
+
+
+def test_qr_model_api(rng):
+    from cuda_qr_tpu import qr, qr_factor
+    A = rng.standard_normal((50, 20))
+    Q, R = qr(A, CFG64)
+    chk = check_qr(A, Q, R)
+    assert chk.ok, chk
+    res = qr_factor(A, CFG64)
+    np.testing.assert_allclose(np.asarray(res.apply_qt(A)[:20]),
+                               np.asarray(R), atol=1e-11)
+
+
+def test_against_numpy_r_signs(rng):
+    """R agrees with LAPACK up to the documented sign convention."""
+    A = rng.standard_normal((64, 32))
+    fac = qr_blocked(jnp.asarray(A), CFG64)
+    R = np.asarray(extract_r(fac, 32))
+    R_np = np.linalg.qr(A, mode="r")
+    np.testing.assert_allclose(np.abs(R), np.abs(R_np), rtol=1e-10, atol=1e-12)
