@@ -50,10 +50,11 @@ class QRConfig:
     """
 
     panel_width: int = LANE
+    panel_base: int = 32
     block_rows: int = 1024
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
-    use_pallas: bool = False  # flipped to True once the Pallas geqrt kernel lands
+    use_pallas: bool = True
     interpret: Optional[bool] = None
     max_vmem_panel_rows: int = 16384
 
