@@ -57,6 +57,11 @@ class QRConfig:
     use_pallas: bool = True
     interpret: Optional[bool] = None
     max_vmem_panel_rows: int = 16384
+    # TSQR leaf factorization: "householder" (unconditionally stable) or
+    # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
+    # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any
+    # well-scaled matrix, guarded by a NaN check with householder fallback).
+    tsqr_leaf: str = "householder"
 
     def resolved_interpret(self) -> bool:
         if self.interpret is None:

@@ -1,0 +1,77 @@
+"""TSQR tree reduction properties."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_qr_tpu.models.tsqr import tsqr, tsqr_r
+from cuda_qr_tpu.utils.config import QRConfig
+from cuda_qr_tpu.utils.verify import check_qr
+
+CFG = QRConfig(block_rows=64, dtype=jnp.float64, use_pallas=False)
+
+
+@pytest.mark.parametrize("m,n", [
+    (64, 16),      # single block
+    (256, 16),     # 4 leaves
+    (1000, 16),    # padding + 16 leaves
+    (640, 32),     # odd leaf count (10)
+    (4096, 128),   # full panel width
+])
+def test_tsqr(rng, m, n):
+    A = rng.standard_normal((m, n))
+    Q, R = tsqr(jnp.asarray(A), CFG)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * n * chk.eps, (m, n, chk)
+    assert chk.orthogonality < 8 * n * chk.eps, (m, n, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_tsqr_r_matches_full(rng):
+    A = rng.standard_normal((512, 24))
+    _, R_full = tsqr(jnp.asarray(A), CFG)
+    R_only = tsqr_r(jnp.asarray(A), CFG)
+    np.testing.assert_allclose(np.asarray(R_only), np.asarray(R_full),
+                               atol=1e-12)
+
+
+def test_tsqr_f32(rng):
+    cfg = QRConfig(block_rows=128, dtype=jnp.float32, use_pallas=False)
+    A = rng.standard_normal((2048, 64)).astype(np.float32)
+    Q, R = tsqr(jnp.asarray(A), cfg)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * 64 * chk.eps, chk
+    assert chk.orthogonality < 8 * 64 * chk.eps, chk
+
+
+def test_tsqr_vs_lapack_r(rng):
+    """|R| must agree with LAPACK's (TSQR R has per-row sign ambiguity)."""
+    A = rng.standard_normal((512, 16))
+    _, R = tsqr(jnp.asarray(A), CFG)
+    R_np = np.linalg.qr(A, mode="r")
+    d = np.sign(np.diag(np.asarray(R))) * np.sign(np.diag(R_np))
+    np.testing.assert_allclose(np.asarray(R) * d[:, None], R_np, atol=1e-10)
+
+
+@pytest.mark.parametrize("m,n", [(1000, 16), (4096, 128)])
+def test_tsqr_cholqr2_leaves(rng, m, n):
+    cfg = QRConfig(block_rows=256, dtype=jnp.float32, use_pallas=False,
+                   tsqr_leaf="cholqr2")
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    Q, R = tsqr(jnp.asarray(A), cfg)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * n * chk.eps, chk
+    assert chk.orthogonality < 8 * n * chk.eps, chk
+
+
+def test_tsqr_cholqr2_fallback_rank_deficient(rng):
+    """A rank-deficient leaf breaks Cholesky; the guard must fall back to
+    Householder and still produce a valid factorization."""
+    cfg = QRConfig(block_rows=64, dtype=jnp.float32, use_pallas=False,
+                   tsqr_leaf="cholqr2")
+    A = rng.standard_normal((256, 8)).astype(np.float32)
+    A[:, 3] = A[:, 2]  # exactly dependent columns
+    Q, R = tsqr(jnp.asarray(A), cfg)
+    assert np.all(np.isfinite(np.asarray(Q)))
+    resid = np.linalg.norm(np.float64(Q) @ np.float64(R) - A)
+    assert resid < 1e-4 * np.linalg.norm(A)
