@@ -74,9 +74,23 @@ def make_reflector(col: jnp.ndarray, d) -> tuple[jnp.ndarray, jnp.ndarray, jnp.n
     return v, tau, beta
 
 
+def geqr2_dyn(A: jnp.ndarray, row_offset,
+              precision: Precision = Precision.HIGHEST):
+    """geqr2 with a *traced* row offset (used by the distributed CAQR panel
+    factorization, where the offset depends on jax.lax.axis_index).  A fully
+    dead block (row_offset >= m) degenerates to tau = 0 / H = I per column
+    via the zero-norm guard -- no special casing."""
+    return _geqr2_impl(A, row_offset, precision)
+
+
 @partial(jax.jit, static_argnames=("row_offset", "precision"))
 def geqr2(A: jnp.ndarray, row_offset: int = 0,
           precision: Precision = Precision.HIGHEST):
+    return _geqr2_impl(A, row_offset, precision)
+
+
+def _geqr2_impl(A: jnp.ndarray, row_offset,
+                precision: Precision = Precision.HIGHEST):
     """Unblocked Householder QR of A's lower-right block (rows >= row_offset).
 
     Column j is reduced over rows >= row_offset + j; rows above ``row_offset``
