@@ -1,0 +1,183 @@
+"""CLI harness: `python -m cuda_qr_tpu <cmd> ...`.
+
+TPU-native counterpart of the reference's benchmark mains (qr.cu:709-857,
+`./qr_device.exe m n`), with the fixes SURVEY.md flags: sizes are padded
+internally instead of silently rounded to the panel grid (qr.cu:722-734),
+verification is always on instead of commented out (qr.cu:822-850), timing
+separates compile from steady state instead of folding allocs+copies in
+(qr.cu:775-788), and results are structured JSON instead of hand-copied
+stdout (timing.txt).
+
+Commands:
+  factor m n   -- blocked QR benchmark + verification
+  tsqr m n     -- tall-skinny TSQR benchmark + verification
+  lstsq m n k  -- least-squares solve benchmark
+  compare m n  -- our QR vs XLA's jnp.linalg.qr (the MAGMA-comparator
+                  analog, qr.cu:555-565)
+  oracle m n pr pc -- run the native C oracle end to end
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _config(args):
+    import jax
+    import jax.numpy as jnp
+    from .utils.config import QRConfig
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = {"f32": jnp.float32, "f64": jnp.float64,
+             "bf16": jnp.bfloat16}[args.dtype]
+    return QRConfig(dtype=dtype, use_pallas=not args.no_pallas,
+                    tsqr_leaf=args.tsqr_leaf)
+
+
+def _emit(rec):
+    print(json.dumps(rec))
+
+
+def cmd_factor(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .ops.blocked import extract_r, orgqr, qr_blocked
+    from .utils.timing import bench, qr_flops
+    from .utils.verify import check_qr
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=cfg.dtype)
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=args.trials,
+              flops=qr_flops(args.m, args.n))
+    rec = {"cmd": "factor", "m": args.m, "n": args.n, "dtype": args.dtype,
+           "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1),
+           "gflops": round(r.gflops, 1)}
+    if not args.no_verify:
+        fac = qr_blocked(A, cfg)
+        chk = check_qr(np.asarray(A, np.float64),
+                       np.asarray(orgqr(fac, args.m, args.n, cfg)),
+                       np.asarray(extract_r(fac, args.n)))
+        rec |= {"residual": chk.residual, "orthogonality": chk.orthogonality,
+                "ok": chk.ok}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
+def cmd_tsqr(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.tsqr import tsqr
+    from .utils.timing import bench, qr_flops
+    from .utils.verify import check_qr
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=cfg.dtype)
+    r = bench(lambda a: tsqr(a, cfg), A, reps=args.trials,
+              flops=qr_flops(args.m, args.n))
+    rec = {"cmd": "tsqr", "m": args.m, "n": args.n, "dtype": args.dtype,
+           "leaf": cfg.tsqr_leaf, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1), "gflops": round(r.gflops, 1)}
+    if not args.no_verify:
+        Q, R = tsqr(A, cfg)
+        chk = check_qr(np.asarray(A, np.float64), np.asarray(Q), np.asarray(R))
+        rec |= {"residual": chk.residual, "orthogonality": chk.orthogonality,
+                "ok": chk.ok}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
+def cmd_lstsq(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.lstsq import lstsq
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=cfg.dtype)
+    B = jnp.asarray(rng.standard_normal((args.m, args.k)), dtype=cfg.dtype)
+    r = bench(lambda a, b: lstsq(a, b, cfg), A, B, reps=args.trials)
+    res = lstsq(A, B, cfg)
+    x_np, *_ = np.linalg.lstsq(np.asarray(A, np.float64),
+                               np.asarray(B, np.float64), rcond=None)
+    err = float(np.max(np.abs(np.asarray(res.x, np.float64) - x_np))
+                / max(1.0, float(np.max(np.abs(x_np)))))
+    _emit({"cmd": "lstsq", "m": args.m, "n": args.n, "k": args.k,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1), "rel_err_vs_lapack": err})
+    return 0
+
+
+def cmd_compare(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from .ops.blocked import qr_blocked
+    from .utils.timing import bench, qr_flops
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=cfg.dtype)
+    fl = qr_flops(args.m, args.n)
+    ours = bench(lambda a: qr_blocked(a, cfg), A, reps=args.trials, flops=fl)
+    xla = bench(jax.jit(lambda a: jnp.linalg.qr(a)), A, reps=args.trials,
+                flops=fl)
+    _emit({"cmd": "compare", "m": args.m, "n": args.n, "dtype": args.dtype,
+           "ours_gflops": round(ours.gflops, 1),
+           "xla_gflops": round(xla.gflops, 1),
+           "speedup_vs_xla": round(xla.steady_s / ours.steady_s, 2)})
+    return 0
+
+
+def cmd_oracle(args):
+    import numpy as np
+    from .oracle import binding
+
+    rng = np.random.default_rng(args.seed)
+    A = rng.standard_normal((args.m, args.n))
+    resid, orth = binding.factor_and_check(A, args.pr, args.pc)
+    _emit({"cmd": "oracle", "m": args.m, "n": args.n, "pr": args.pr,
+           "pc": args.pc, "residual": resid, "orthogonality": orth})
+    return 0 if resid < 1e-12 * args.n else 2
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cuda_qr_tpu", description=__doc__)
+    p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default="f32")
+    p.add_argument("--trials", type=int, default=3)  # qr.cu:25
+    p.add_argument("--seed", type=int, default=12)   # qr.cu:765
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--tsqr-leaf", choices=["householder", "cholqr2"],
+                   default="householder")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, np_ in [("factor", 2), ("tsqr", 2), ("compare", 2)]:
+        sp = sub.add_parser(name)
+        sp.add_argument("m", type=int)
+        sp.add_argument("n", type=int)
+    sp = sub.add_parser("lstsq")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("k", type=int, nargs="?", default=1)
+    sp = sub.add_parser("oracle")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("pr", type=int)
+    sp.add_argument("pc", type=int)
+    args = p.parse_args(argv)
+    for dim in ("m", "n", "k", "pr", "pc"):
+        if getattr(args, dim, 1) < 1:
+            p.error(f"{dim} must be >= 1, got {getattr(args, dim)}")
+    if getattr(args, "n", 0) > getattr(args, "m", 0):
+        p.error(f"need n <= m, got m={args.m} n={args.n}")
+    return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
+            "compare": cmd_compare, "oracle": cmd_oracle}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,48 @@
+"""Least-squares solve via QR: min ||Ax - b||_2 (BASELINE config 4).
+
+Pipeline: blocked factorization (qr_blocked) -> Q^T b without forming Q
+(ormqr, the production replacement for the reference's verification-only
+explicitQR path, qr.cu:582-686) -> back-substitution R x = (Q^T b)[:n].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..ops.blocked import extract_r, ormqr, qr_blocked
+from ..utils.config import DEFAULT_CONFIG, QRConfig
+
+
+class LstsqResult(NamedTuple):
+    x: jnp.ndarray           # (n,) or (n, k) solution
+    residual_norm: jnp.ndarray  # ||Ax - b||_2 per rhs (from the Q^T b tail)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def lstsq(A: jnp.ndarray, b: jnp.ndarray,
+          config: QRConfig = DEFAULT_CONFIG) -> LstsqResult:
+    """Solve min_x ||A x - b|| for m >= n full-rank A; b is (m,) or (m, k).
+
+    The residual norm comes for free as ||(Q^T b)[n:]|| -- no extra GEMM.
+    """
+    m, n = A.shape
+    if m < n:
+        raise ValueError(f"lstsq requires m >= n, got {m}x{n}")
+    vec = b.ndim == 1
+    B = b[:, None] if vec else b
+    B = B.astype(config.dtype)
+
+    fac = qr_blocked(A, config)
+    QtB = ormqr(fac, jnp.pad(B, ((0, fac.packed.shape[0] - m), (0, 0))),
+                transpose=True, config=config)
+    R = extract_r(fac, n)
+    x = jsl.solve_triangular(R, QtB[:n], lower=False)
+    resid = jnp.linalg.norm(QtB[n:m], axis=0)
+    if vec:
+        x, resid = x[:, 0], resid[0]
+    return LstsqResult(x=x, residual_norm=resid)

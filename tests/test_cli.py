@@ -1,0 +1,33 @@
+"""CLI harness smoke tests (CPU, no-pallas for speed)."""
+
+import json
+import subprocess
+import sys
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "cuda_qr_tpu", *args],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "/root/repo"})
+
+
+def test_cli_factor():
+    out = run_cli("--no-pallas", "--dtype", "f64", "--trials", "1",
+                  "factor", "64", "32")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["residual"] < 1e-13
+
+
+def test_cli_oracle():
+    out = run_cli("oracle", "64", "32", "16", "8")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["residual"] < 1e-13
+
+
+def test_cli_rejects_bad_sizes():
+    out = run_cli("factor", "0", "0")
+    assert out.returncode == 2 and "must be >= 1" in out.stderr
+    out = run_cli("factor", "10", "20")
+    assert out.returncode == 2 and "n <= m" in out.stderr

@@ -1,0 +1,45 @@
+"""Least-squares solve vs numpy.linalg.lstsq."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_qr_tpu.models.lstsq import lstsq
+from cuda_qr_tpu.utils.config import QRConfig
+
+CFG = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False)
+
+
+@pytest.mark.parametrize("m,n,k", [(64, 32, 1), (100, 40, 3), (50, 50, 2)])
+def test_lstsq_matches_numpy(rng, m, n, k):
+    A = rng.standard_normal((m, n))
+    B = rng.standard_normal((m, k))
+    res = lstsq(jnp.asarray(A), jnp.asarray(B), CFG)
+    x_np, *_ = np.linalg.lstsq(A, B, rcond=None)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, atol=1e-9)
+    r_np = np.linalg.norm(A @ x_np - B, axis=0)
+    np.testing.assert_allclose(np.asarray(res.residual_norm), r_np, atol=1e-9)
+
+
+def test_lstsq_vector_rhs(rng):
+    A = rng.standard_normal((80, 20))
+    b = rng.standard_normal(80)
+    res = lstsq(jnp.asarray(A), jnp.asarray(b), CFG)
+    assert res.x.shape == (20,)
+    x_np, *_ = np.linalg.lstsq(A, b, rcond=None)
+    np.testing.assert_allclose(np.asarray(res.x), x_np, atol=1e-9)
+
+
+def test_lstsq_exact_system(rng):
+    """Consistent system: residual ~ 0, x reproduces b."""
+    A = rng.standard_normal((60, 30))
+    x_true = rng.standard_normal(30)
+    b = A @ x_true
+    res = lstsq(jnp.asarray(A), jnp.asarray(b), CFG)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-10)
+    assert float(res.residual_norm) < 1e-10
+
+
+def test_lstsq_wide_raises(rng):
+    with pytest.raises(ValueError):
+        lstsq(jnp.zeros((10, 20)), jnp.zeros(10), CFG)
