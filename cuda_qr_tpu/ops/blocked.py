@@ -44,10 +44,14 @@ def _panel_factor(panel: jnp.ndarray, off: int, config: QRConfig):
     """Factor rows >= off of a full-height (m_pad x nb) panel.
 
     Returns (packed_panel, tau, T) with T the compact-WY factor of the
-    panel's reflectors.  Dispatches to the Pallas VMEM-resident kernel on
-    TPU or the pure-jnp path elsewhere.
+    panel's reflectors.  Dispatch per config.panel_method (with the legacy
+    use_pallas=False escape hatch forcing the jnp path).
     """
-    if config.use_pallas:
+    method = config.panel_method if config.use_pallas else "geqr2"
+    if method == "cholqr2_hr":
+        from .fast_panel import panel_factor_cholqr2hr
+        return panel_factor_cholqr2hr(panel, off, config)
+    if method == "geqrt":
         from .geqrt import geqrt_panel  # local import: optional dependency cycle
         return geqrt_panel(panel, off, config)
     lo = panel[off:]
@@ -66,6 +70,65 @@ def _pad(A: jnp.ndarray, nb: int):
     return A
 
 
+def _unpack_v_dyn(packed: jnp.ndarray, off) -> jnp.ndarray:
+    m, n = packed.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1) + jnp.asarray(off, jnp.int32)
+    return jnp.where(r > c, packed, jnp.where(r == c, 1, 0).astype(packed.dtype))
+
+
+def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
+    """Single-body panel loop: the whole factorization is ONE traced panel
+    step under lax.fori_loop.  The trailing update runs full-width with a
+    column mask (~2x GEMM flops vs exact slicing) but trace/compile cost --
+    the binding constraint on this stack, where Mosaic compiles per Pallas
+    instance and the cholqr2_hr graph is deep -- is O(1) in the panel count.
+    """
+    m_pad, n_pad = A.shape
+    nb = config.panel_width
+    k = n_pad // nb
+    prec = config.precision
+    cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+
+    def body(i, carry):
+        A, taus, Ts = carry
+        i = jnp.asarray(i, jnp.int32)  # fori index is int64 under x64
+        off = i * nb
+        panel = jax.lax.dynamic_slice(A, (jnp.int32(0), off), (m_pad, nb))
+        packed, tau, T = _panel_factor_dyn(panel, off, config)
+        V = _unpack_v_dyn(packed, off)
+        W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
+        W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
+        U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
+        A = A - jnp.where(cmask_iota >= off + nb, U, 0)
+        A = jax.lax.dynamic_update_slice(A, packed, (jnp.int32(0), off))
+        taus = jax.lax.dynamic_update_slice(taus, tau[None], (i, jnp.int32(0)))
+        Ts = jax.lax.dynamic_update_slice(
+            Ts, T[None], (i, jnp.int32(0), jnp.int32(0)))
+        return A, taus, Ts
+
+    tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
+    taus0 = jnp.zeros((k, nb), tdt)
+    Ts0 = jnp.zeros((k, nb, nb), tdt)
+    A, taus, Ts = jax.lax.fori_loop(0, k, body, (A, taus0, Ts0))
+    return PackedQR(packed=A, taus=taus, Ts=Ts)
+
+
+def _panel_factor_dyn(panel: jnp.ndarray, off, config: QRConfig):
+    """_panel_factor with a traced offset (scan driver)."""
+    method = config.panel_method if config.use_pallas else "geqr2"
+    if method == "cholqr2_hr":
+        from .fast_panel import panel_factor_cholqr2hr
+        return panel_factor_cholqr2hr(panel, off, config)
+    if method == "geqrt":
+        from .geqrt import _geqrt_recursive
+        return _geqrt_recursive(panel, off, config)
+    from .householder import geqr2_dyn
+    packed, tau = geqr2_dyn(panel, off, precision=config.precision)
+    T = larft(_unpack_v_dyn(packed, off), tau, precision=config.precision)
+    return packed, tau, T
+
+
 @partial(jax.jit, static_argnames=("config",))
 def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     """Blocked QR factorization of A (m x n, m >= n after internal padding).
@@ -73,6 +136,7 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     Arbitrary m, n are handled by zero-padding to the panel grid -- removing
     the reference's hard alignment precondition under which misaligned sizes
     silently corrupt the factorization (SURVEY.md S4, qr.cu:722-734).
+    Driver (scan vs unrolled) per config.driver.
     """
     m, n = A.shape
     if m < n:
@@ -81,6 +145,9 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     A = _pad(A.astype(config.dtype), nb)
     m_pad, n_pad = A.shape
     k = n_pad // nb
+
+    if config.driver == "scan":
+        return _qr_blocked_scan(A, config)
 
     taus, Ts = [], []
     cols = [None] * k

