@@ -20,26 +20,41 @@ def main():
     from cuda_qr_tpu.ops.blocked import extract_r, orgqr, qr_blocked
     from cuda_qr_tpu.utils.config import QRConfig
     from cuda_qr_tpu.utils.timing import bench, qr_flops
-    from cuda_qr_tpu.utils.verify import check_qr
 
-    m = n = 4096
+    m = n = 8192
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:  # CPU fallback keeps the bench runnable anywhere
         m = n = 512
-    cfg = QRConfig(dtype=jnp.float32, use_pallas=on_tpu)
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
 
     r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(m, n))
 
-    # always-on verification (the reference shipped its check commented out,
-    # qr.cu:822-850)
-    fac = qr_blocked(A, cfg)
-    Q = orgqr(fac, m, n, cfg)
-    R = extract_r(fac, n)
-    chk = check_qr(np.asarray(A), np.asarray(Q), np.asarray(R))
+    # Always-on verification (the reference shipped its check commented out,
+    # qr.cu:822-850).  Norms are computed on-device at HIGHEST matmul
+    # precision and fetched as scalars: pulling full matrices through the
+    # host link would dominate the bench wall-clock.
+    H = jax.lax.Precision.HIGHEST
 
-    baseline_gflops = 299.0  # MAGMA sgeqrf2 4096^2 fp32, BASELINE.md
+    @jax.jit
+    def residuals(A):
+        fac = qr_blocked(A, cfg)
+        Q = orgqr(fac, m, n, cfg)
+        R = extract_r(fac, n)
+        resid = jnp.linalg.norm(
+            jnp.einsum("ij,jk->ik", Q, R, precision=H) - A) / jnp.linalg.norm(A)
+        orth = jnp.linalg.norm(
+            jnp.einsum("ij,ik->jk", Q, Q, precision=H) -
+            jnp.eye(n, dtype=A.dtype))
+        return resid, orth
+
+    resid, orth = (float(x) for x in residuals(A))
+    eps = float(jnp.finfo(jnp.float32).eps)
+
+    baseline_gflops = 299.0  # MAGMA sgeqrf2 4096^2 fp32 -- the best vendor
+    # number in BASELINE.md (no cuSOLVER 8192^2 figure was ever published
+    # by the reference; its own MMQR reaches 3.77 GFLOP/s)
     value = r.gflops
     print(json.dumps({
         "metric": f"qr_gflops_{m}x{n}_fp32",
@@ -48,11 +63,11 @@ def main():
         "vs_baseline": round(value / baseline_gflops, 2),
         "steady_ms": round(r.steady_s * 1e3, 1),
         "compile_s": round(r.compile_s, 1),
-        "residual": float(f"{chk.residual:.3e}"),
-        "orthogonality": float(f"{chk.orthogonality:.3e}"),
+        "residual": float(f"{resid:.3e}"),
+        "orthogonality": float(f"{orth:.3e}"),
         "backend": jax.default_backend(),
     }))
-    return 0 if chk.residual < n * chk.eps else 1
+    return 0 if resid < n * eps else 1
 
 
 if __name__ == "__main__":

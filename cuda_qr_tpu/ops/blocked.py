@@ -78,15 +78,39 @@ def _unpack_v_dyn(packed: jnp.ndarray, off) -> jnp.ndarray:
 
 
 def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
-    """Single-body panel loop: the whole factorization is ONE traced panel
-    step under lax.fori_loop.  The trailing update runs full-width with a
-    column mask (~2x GEMM flops vs exact slicing) but trace/compile cost --
+    """Staged scan driver.
+
+    Panels are processed in config.scan_stages equal groups; each group's
+    lax.fori_loop body operates on the statically-sliced trailing submatrix
+    (rows/columns before the group's first panel are provably never touched
+    by its panels), so the full-width-masked update waste shrinks toward
+    exact slicing while trace/compile cost stays O(stages), not O(panels) --
     the binding constraint on this stack, where Mosaic compiles per Pallas
-    instance and the cholqr2_hr graph is deep -- is O(1) in the panel count.
+    instance and the cholqr2_hr graph is deep.
     """
     m_pad, n_pad = A.shape
     nb = config.panel_width
     k = n_pad // nb
+    stages = max(1, min(config.scan_stages, k))
+    bounds = [round(s * k / stages) for s in range(stages + 1)]
+    taus_all, Ts_all = [], []
+    for ks, ke in zip(bounds[:-1], bounds[1:]):
+        if ke == ks:
+            continue
+        r0 = ks * nb
+        sub, taus_g, Ts_g = _scan_panels(A[r0:, r0:], ke - ks, config)
+        A = A.at[r0:, r0:].set(sub)
+        taus_all.append(taus_g)
+        Ts_all.append(Ts_g)
+    return PackedQR(packed=A, taus=jnp.concatenate(taus_all),
+                    Ts=jnp.concatenate(Ts_all))
+
+
+def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
+    """fori_loop over k panels of a (sub)matrix whose panel 0 starts at its
+    own top-left corner.  Returns (packed_sub, taus (k, nb), Ts (k, nb, nb))."""
+    m_pad, n_pad = A.shape
+    nb = config.panel_width
     prec = config.precision
     cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 

@@ -37,14 +37,42 @@ def _inv_upper_base(U: jnp.ndarray) -> jnp.ndarray:
 
 
 def inv_upper(U: jnp.ndarray, precision: Precision = _H) -> jnp.ndarray:
-    """Inverse of upper-triangular U by block doubling:
-    inv([[A, B], [0, C]]) = [[Ai, -Ai B Ci], [0, Ci]]."""
+    """Inverse of upper-triangular U.
+
+    Power-of-two sizes use fully-BATCHED block doubling: level s inverts all
+    n/2s diagonal 2s-blocks at once from their s-block inverses,
+        inv([[A, B], [0, C]]) = [[Ai, -Ai B Ci], [0, Ci]],
+    as one batched einsum per level -- log2(n) levels, no sequential scalar
+    loop anywhere (the per-column chain is exactly what a TPU cannot hide).
+    Other sizes fall back to 2-way recursion with a fori base.
+    """
+    n = U.shape[0]
+    if n & (n - 1):  # not a power of two
+        return _inv_upper_rec(U, precision)
+    M = (1.0 / jnp.diagonal(U)).reshape(n, 1, 1)
+    s = 1
+    while s < n:
+        nblk = n // (2 * s)
+        view = U.reshape(nblk, 2 * s, nblk, 2 * s)
+        idx = jnp.arange(nblk)
+        dblk = view[idx, :, idx, :]                    # (nblk, 2s, 2s)
+        B = dblk[:, :s, s:]
+        Ai, Ci = M[0::2], M[1::2]
+        top = -jnp.einsum("bij,bjk,bkl->bil", Ai, B, Ci, precision=precision)
+        z = jnp.zeros((nblk, s, s), U.dtype)
+        M = jnp.concatenate([jnp.concatenate([Ai, top], 2),
+                             jnp.concatenate([z, Ci], 2)], 1)
+        s *= 2
+    return M[0]
+
+
+def _inv_upper_rec(U: jnp.ndarray, precision: Precision) -> jnp.ndarray:
     n = U.shape[0]
     if n <= _BASE:
         return _inv_upper_base(U)
     h = n // 2
-    Ai = inv_upper(U[:h, :h], precision)
-    Ci = inv_upper(U[h:, h:], precision)
+    Ai = _inv_upper_rec(U[:h, :h], precision)
+    Ci = _inv_upper_rec(U[h:, h:], precision)
     B = U[:h, h:]
     top = -jnp.einsum("ij,jk,kl->il", Ai, B, Ci, precision=precision)
     z = jnp.zeros((n - h, h), U.dtype)
@@ -79,20 +107,18 @@ def cholesky_recursive(G: jnp.ndarray, precision: Precision = _H) -> jnp.ndarray
 
 
 def _chol_base(G: jnp.ndarray) -> jnp.ndarray:
+    """Statically-unrolled base Cholesky (n <= _BASE): the column chain is
+    unavoidable, but unrolling removes per-iteration loop overhead, which at
+    this size is larger than the arithmetic itself."""
     n = G.shape[0]
-    L = jnp.zeros_like(G)
-
-    def body(j, carry):
-        L, G = carry
+    cols = []
+    idx = jnp.arange(n)
+    for j in range(n):
         d = jnp.sqrt(G[j, j])
-        col_mask = (jnp.arange(n) >= j).astype(G.dtype)
-        col = G[:, j] * col_mask / d
-        L = L.at[:, j].set(col)
+        col = jnp.where(idx >= j, G[:, j], 0) / d
+        cols.append(col)
         G = G - jnp.outer(col, col)
-        return L, G
-
-    L, _ = jax.lax.fori_loop(0, n, body, (L, G))
-    return L
+    return jnp.stack(cols, axis=1)
 
 
 def lu_unpivoted(Y: jnp.ndarray, precision: Precision = _H):
@@ -122,18 +148,14 @@ def lu_unpivoted(Y: jnp.ndarray, precision: Precision = _H):
 
 
 def _lu_base(Y: jnp.ndarray):
+    """Statically-unrolled base unpivoted LU (n <= _BASE)."""
     n = Y.shape[0]
     idx = jnp.arange(n)
-
-    def body(j, Y):
+    for j in range(n):
         piv = Y[j, j]
-        below = (idx > j)[:, None]
-        right = (idx > j)[None, :]
         col = jnp.where(idx > j, Y[:, j] / piv, 0.0)
-        Y = Y - jnp.where(below & right, jnp.outer(col, Y[j]), 0.0)
-        return Y.at[:, j].set(jnp.where(idx > j, col, Y[:, j]))
-
-    Y = jax.lax.fori_loop(0, n, body, Y)
+        Y = Y - jnp.outer(col, jnp.where(idx > j, Y[j], 0.0))
+        Y = Y.at[:, j].set(jnp.where(idx > j, col, Y[:, j]))
     r = jax.lax.broadcasted_iota(jnp.int32, Y.shape, 0)
     c = jax.lax.broadcasted_iota(jnp.int32, Y.shape, 1)
     L = jnp.where(r > c, Y, 0) + jnp.eye(n, dtype=Y.dtype)

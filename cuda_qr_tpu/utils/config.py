@@ -72,6 +72,12 @@ class QRConfig:
     #   "unrolled": Python loop with exact shrinking slices -- fewer flops,
     #     compile cost grows with n/nb.
     driver: str = "scan"
+    # Number of equal panel groups for the scan driver.  Each group's scan
+    # runs on a statically-sliced trailing submatrix (rows/cols before the
+    # group's first panel are provably untouched), so the full-width update
+    # waste shrinks from ~2x toward exact as stages grow, at one extra traced
+    # body per stage.  4 stages ~= 47% of the unstaged GEMM volume at 8192^2.
+    scan_stages: int = 4
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any
