@@ -193,6 +193,50 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     return PackedQR(packed=packed, taus=jnp.stack(taus), Ts=jnp.stack(Ts))
 
 
+def _apply_panels_scan(packed: jnp.ndarray, Ts: jnp.ndarray, B: jnp.ndarray,
+                       transpose: bool, config: QRConfig) -> jnp.ndarray:
+    """Apply all panel block-reflectors to B via staged scans.
+
+    Panel i only touches rows >= i*nb (V is zero above its offset), so no
+    column/row masking is needed inside a stage; stages statically slice the
+    dead top rows away, and each stage is one lax.fori_loop body -- O(stages)
+    trace/compile cost like the factorization driver.
+    """
+    m_pad, n_pad = packed.shape
+    nb = config.panel_width
+    k = n_pad // nb
+    prec = config.precision
+    stages = max(1, min(config.scan_stages, k))
+    bounds = [round(s * k / stages) for s in range(stages + 1)]
+    groups = list(zip(bounds[:-1], bounds[1:]))
+
+    def stage(B, packed_sub, Ts_all, ks, ke, transpose):
+        kg = ke - ks
+
+        def body(j, B):
+            j = jnp.asarray(j, jnp.int32)
+            i = (ks + j) if transpose else (ke - 1 - j)
+            off = i * nb - ks * nb
+            panel = jax.lax.dynamic_slice(
+                packed_sub, (jnp.int32(0), off), (packed_sub.shape[0], nb))
+            V = _unpack_v_dyn(panel, off)
+            T = jax.lax.dynamic_slice(
+                Ts_all, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
+            return larfb(B, V, T.astype(B.dtype), transpose=transpose,
+                         precision=prec).astype(B.dtype)
+
+        return jax.lax.fori_loop(0, kg, body, B)
+
+    order = groups if transpose else list(reversed(groups))
+    for ks, ke in order:
+        if ke == ks:
+            continue
+        r0 = ks * nb
+        Bsub = stage(B[r0:], packed[r0:, r0:], Ts, ks, ke, transpose)
+        B = B.at[r0:].set(Bsub)
+    return B
+
+
 @partial(jax.jit, static_argnames=("m", "n", "config"))
 def orgqr(factors: PackedQR, m: int, n: int,
           config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
@@ -205,14 +249,8 @@ def orgqr(factors: PackedQR, m: int, n: int,
     """
     packed, taus, Ts = factors
     m_pad, n_pad = packed.shape
-    nb = config.panel_width
-    k = n_pad // nb
     Q = jnp.eye(m_pad, n, dtype=packed.dtype)
-    for i in reversed(range(k)):
-        off = i * nb
-        V = unpack_v(packed[off:, off:off + nb], 0)
-        Q = Q.at[off:].set(
-            larfb(Q[off:], V, Ts[i], transpose=False, precision=config.precision))
+    Q = _apply_panels_scan(packed, Ts, Q, transpose=False, config=config)
     return Q[:m]
 
 
@@ -222,18 +260,10 @@ def ormqr(factors: PackedQR, B: jnp.ndarray, transpose: bool = True,
     """Apply Q^T (transpose=True) or Q to B (m x p) without forming Q."""
     packed, taus, Ts = factors
     m_pad, n_pad = packed.shape
-    nb = config.panel_width
-    k = n_pad // nb
     mB = B.shape[0]
     if mB < m_pad:
         B = jnp.pad(B, ((0, m_pad - mB), (0, 0)))
-    order = range(k) if transpose else reversed(range(k))
-    for i in order:
-        off = i * nb
-        V = unpack_v(packed[off:, off:off + nb], 0)
-        B = B.at[off:].set(
-            larfb(B[off:], V, Ts[i], transpose=transpose,
-                  precision=config.precision))
+    B = _apply_panels_scan(packed, Ts, B, transpose=transpose, config=config)
     return B[:mB]
 
 
