@@ -7,16 +7,24 @@ kernels for the panel factorization; runtime verification against a native
 C99 oracle implementing the reference's sliding-panel algorithm.
 """
 
+from .models.caqr import caqr, caqr_r
+from .models.lstsq import LstsqResult, lstsq
 from .models.qr import qr, qr_factor, QRResult
+from .models.tsqr import tsqr, tsqr_r
 from .ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
 from .ops.householder import geqr2, larfb, larft, make_reflector, unpack_r, unpack_v
+from .parallel.mesh import row_mesh, row_sharding
+from .parallel.tsqr_dist import tsqr_dist
 from .utils.config import DEFAULT_CONFIG, QRConfig
+from .utils.errors import QRError, QRNumericalError, QRShapeError
 from .utils.verify import QRCheck, check_qr
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "qr", "qr_factor", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
     "extract_r", "geqr2", "larfb", "larft", "make_reflector", "unpack_r",
     "unpack_v", "QRConfig", "DEFAULT_CONFIG", "QRCheck", "check_qr",
+    "tsqr", "tsqr_r", "tsqr_dist", "caqr", "caqr_r", "lstsq", "LstsqResult",
+    "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
 ]

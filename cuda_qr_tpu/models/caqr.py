@@ -31,7 +31,8 @@ def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG):
     replicated).  Arbitrary m >= n; pads internally to the mesh grid."""
     m, n = A.shape
     if m < n:
-        raise ValueError(f"caqr requires m >= n, got {m}x{n}")
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"caqr requires m >= n, got {m}x{n}")
     Ap = _pad_for_mesh(jnp.asarray(A), mesh, config.panel_width)
     Ap = jax.device_put(Ap, row_sharding(mesh))
     factors, R = caqr_factor(Ap, mesh, config)

@@ -32,7 +32,8 @@ def lstsq(A: jnp.ndarray, b: jnp.ndarray,
     """
     m, n = A.shape
     if m < n:
-        raise ValueError(f"lstsq requires m >= n, got {m}x{n}")
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"lstsq requires m >= n, got {m}x{n}")
     vec = b.ndim == 1
     B = b[:, None] if vec else b
     B = B.astype(config.dtype)

@@ -164,7 +164,8 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     """
     m, n = A.shape
     if m < n:
-        raise ValueError(f"qr_blocked requires m >= n, got {m}x{n}")
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"qr_blocked requires m >= n, got {m}x{n}")
     nb = config.panel_width
     A = _pad(A.astype(config.dtype), nb)
     m_pad, n_pad = A.shape
