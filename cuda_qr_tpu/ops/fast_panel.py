@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..utils.config import QRConfig
 from .householder import geqr2_dyn, larft
-from .smalllinalg import cholesky_recursive, inv_upper, lu_unpivoted
+from .smalllinalg import cholesky_with_inv, lu_with_inv
 
 
 def _unpack_v_dyn(packed, off):
@@ -63,14 +63,14 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
     X = jnp.where(live, panel, 0)
 
     def cholqr2hr(X):
-        # --- CholeskyQR2 ---
+        # --- CholeskyQR2 (fused L/L^-1 per round: Q = X L^-T) ---
         G = jnp.einsum("ri,rj->ij", X, X, precision=prec)
-        R1 = cholesky_recursive(G, prec).T
-        Q1 = jnp.einsum("ri,ij->rj", X, inv_upper(R1, prec), precision=prec)
+        L1, L1i = cholesky_with_inv(G, prec)
+        Q1 = jnp.einsum("ri,ji->rj", X, L1i, precision=prec)     # X L1^-T
         G2 = jnp.einsum("ri,rj->ij", Q1, Q1, precision=prec)
-        R2 = cholesky_recursive(G2, prec).T
-        Q = jnp.einsum("ri,ij->rj", Q1, inv_upper(R2, prec), precision=prec)
-        Rpos = jnp.einsum("ij,jk->ik", R2, R1, precision=prec)
+        L2, L2i = cholesky_with_inv(G2, prec)
+        Q = jnp.einsum("ri,ji->rj", Q1, L2i, precision=prec)
+        Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
 
         # --- Householder reconstruction ---
         col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
@@ -79,9 +79,9 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
         s = jnp.where(qd >= 0, -1, 1).astype(dtype)              # = -sign conv
         Y = diag_mask - Q * s[None, :]                           # E_J - Q S
         YJ = jax.lax.dynamic_slice(Y, (off, jnp.int32(0)), (nb, nb))
-        VJ, W = lu_unpivoted(YJ, prec)
-        V = jnp.einsum("rj,jk->rk", Y, inv_upper(W, prec), precision=prec)
-        T = jnp.einsum("ij,jk->ik", W, inv_upper(VJ.T, prec), precision=prec)
+        VJ, W, VJi, Wi = lu_with_inv(YJ, prec)
+        V = jnp.einsum("rj,jk->rk", Y, Wi, precision=prec)
+        T = jnp.einsum("ij,kj->ik", W, VJi, precision=prec)      # W VJ^-T
         tau = jnp.diagonal(T)
         R_house = s[:, None] * Rpos
 

@@ -121,6 +121,52 @@ def _chol_base(G: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(cols, axis=1)
 
 
+def cholesky_with_inv(G: jnp.ndarray, precision: Precision = _H):
+    """(L, L^{-1}) of SPD G in one recursion.
+
+    The inverse falls out of the same block recursion that needs partial
+    inverses anyway (L21 = G21 L1^{-T}), so fusing it removes every
+    standalone inversion tree from the CholeskyQR rounds:
+        inv([[L1, 0], [L21, L2]]) = [[L1i, 0], [-L2i L21 L1i, L2i]].
+    """
+    n = G.shape[0]
+    if n <= _BASE:
+        L = _chol_base(G)
+        return L, inv_lower(L, precision)
+    h = n // 2
+    L1, L1i = cholesky_with_inv(G[:h, :h], precision)
+    L21 = jnp.einsum("ij,kj->ik", G[h:, :h], L1i, precision=precision)
+    S = G[h:, h:] - jnp.einsum("ij,kj->ik", L21, L21, precision=precision)
+    L2, L2i = cholesky_with_inv(S, precision)
+    bot = -jnp.einsum("ij,jk,kl->il", L2i, L21, L1i, precision=precision)
+    z = jnp.zeros((h, n - h), G.dtype)
+    L = jnp.block([[L1, z], [L21, L2]])
+    Li = jnp.block([[L1i, z], [bot, L2i]])
+    return L, Li
+
+
+def lu_with_inv(Y: jnp.ndarray, precision: Precision = _H):
+    """(L, U, L^{-1}, U^{-1}) of an unpivoted-LU-safe Y in one recursion."""
+    n = Y.shape[0]
+    if n <= _BASE:
+        L, U = _lu_base(Y)
+        return L, U, inv_lower(L, precision), inv_upper(U, precision)
+    h = n // 2
+    L11, U11, L11i, U11i = lu_with_inv(Y[:h, :h], precision)
+    U12 = jnp.einsum("ij,jk->ik", L11i, Y[:h, h:], precision=precision)
+    L21 = jnp.einsum("ij,jk->ik", Y[h:, :h], U11i, precision=precision)
+    S = Y[h:, h:] - jnp.einsum("ij,jk->ik", L21, U12, precision=precision)
+    L22, U22, L22i, U22i = lu_with_inv(S, precision)
+    zl = jnp.zeros((h, n - h), Y.dtype)
+    zu = jnp.zeros((n - h, h), Y.dtype)
+    Lbot = -jnp.einsum("ij,jk,kl->il", L22i, L21, L11i, precision=precision)
+    Utop = -jnp.einsum("ij,jk,kl->il", U11i, U12, U22i, precision=precision)
+    return (jnp.block([[L11, zl], [L21, L22]]),
+            jnp.block([[U11, U12], [zu, U22]]),
+            jnp.block([[L11i, zl], [Lbot, L22i]]),
+            jnp.block([[U11i, Utop], [zu, U22i]]))
+
+
 def lu_unpivoted(Y: jnp.ndarray, precision: Precision = _H):
     """Unpivoted LU: Y = L U, L unit-lower, U upper.  2-way recursion:
     U12 = L11^-1 A12, L21 = A21 U11^-1, Schur complement recursion.
