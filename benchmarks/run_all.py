@@ -1,0 +1,177 @@
+"""Run the five BASELINE.json configs and regenerate RESULTS.md.
+
+Usage: python benchmarks/run_all.py [--quick]
+
+Config 5 (distributed CAQR on a v5p-16 mesh) cannot run on this single-chip
+environment; it is validated functionally on a virtual 8-device CPU mesh at
+reduced size, which exercises the identical shard_map/collective code path
+the real mesh would run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def config1_oracle():
+    """Unblocked/sliding-panel Householder 1024^2 fp64 on the C oracle."""
+    d = os.path.join(REPO, "cuda_qr_tpu", "oracle")
+    subprocess.run(["make", "-C", d, "qr_oracle_main"], check=True,
+                   capture_output=True)
+    out = subprocess.run([os.path.join(d, "qr_oracle_main"),
+                          "1024", "1024", "64", "16", "1"],
+                         check=True, capture_output=True, text=True)
+    rec = json.loads(out.stdout)
+    rec["config"] = "1: oracle 1024^2 fp64 (C, sliding-panel)"
+    return rec
+
+
+def config2_blocked(quick: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.ops.blocked import qr_blocked, orgqr, extract_r
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+
+    n = 1024 if quick else 4096
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(n, n))
+    H = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def resid(A):
+        fac = qr_blocked(A, cfg)
+        Q = orgqr(fac, n, n, cfg)
+        R = extract_r(fac, n)
+        return (jnp.linalg.norm(jnp.einsum("ij,jk->ik", Q, R, precision=H) - A)
+                / jnp.linalg.norm(A))
+
+    return {"config": f"2: blocked QR {n}^2 fp32 panel 128",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "gflops": round(r.gflops, 1),
+            "residual": float(f"{float(resid(A)):.3e}"),
+            "backend": jax.default_backend()}
+
+
+def config3_tsqr(quick: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.models.tsqr import tsqr
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+
+    m = 131072 if quick else 1_048_576
+    n = 128
+    cfg = QRConfig(dtype=jnp.float32, block_rows=1024, tsqr_leaf="cholqr2")
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    r = bench(lambda a: tsqr(a, cfg), A, reps=2, flops=qr_flops(m, n))
+    H = jax.lax.Precision.HIGHEST
+    Q, R = tsqr(A, cfg)
+    resid = float(jnp.linalg.norm(
+        jnp.einsum("ij,jk->ik", Q, R, precision=H) - A) / jnp.linalg.norm(A))
+    return {"config": f"3: TSQR {m}x{n} fp32 (cholqr2 leaves)",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "gflops": round(r.gflops, 1),
+            "residual": float(f"{resid:.3e}"),
+            "backend": jax.default_backend()}
+
+
+def config4_lstsq(quick: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.models.lstsq import lstsq
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    m, n = (2048, 512) if quick else (8192, 2048)
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    x_true = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
+    b = A @ x_true
+    r = bench(lambda a, bb: lstsq(a, bb, cfg), A, b, reps=2)
+    res = lstsq(A, b, cfg)
+    err = float(jnp.max(jnp.abs(res.x - x_true)) / jnp.max(jnp.abs(x_true)))
+    return {"config": f"4: lstsq (orgqr/ormqr + trsm) {m}x{n} fp32",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "x_rel_err": float(f"{err:.3e}"),
+            "backend": jax.default_backend()}
+
+
+def config5_caqr():
+    """Functional validation of distributed CAQR on a virtual CPU mesh."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    code = (
+        "import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import numpy as np, jax.numpy as jnp, time, json;"
+        "import sys; sys.path.insert(0, %r);"
+        "from cuda_qr_tpu.models.caqr import caqr;"
+        "from cuda_qr_tpu.parallel.mesh import row_mesh;"
+        "from cuda_qr_tpu.utils.config import QRConfig;"
+        "from cuda_qr_tpu.utils.verify import check_qr;"
+        "cfg=QRConfig(panel_width=32, dtype=jnp.float32, use_pallas=False);"
+        "rng=np.random.default_rng(12); A=rng.standard_normal((1024,512))"
+        ".astype(np.float32);"
+        "t0=time.time(); Q,R=caqr(jnp.asarray(A), row_mesh(8), cfg);"
+        "Q.block_until_ready(); dt=time.time()-t0;"
+        "c=check_qr(A,np.asarray(Q),np.asarray(R));"
+        "print(json.dumps({'residual':c.residual,'orthogonality':"
+        "c.orthogonality,'wall_s':round(dt,1)}))" % REPO)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, check=True)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rec["config"] = ("5: distributed CAQR, 8-shard virtual mesh 1024x512 "
+                     "fp32 (v5p-16 65536^2 needs real multi-chip)")
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    records = []
+    for fn in (config1_oracle,
+               lambda: config2_blocked(args.quick),
+               lambda: config3_tsqr(args.quick),
+               lambda: config4_lstsq(args.quick),
+               config5_caqr):
+        t0 = time.time()
+        rec = fn() if not isinstance(fn, str) else None
+        rec["elapsed_s"] = round(time.time() - t0, 1)
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    lines = ["# RESULTS — BASELINE.json configs",
+             "",
+             "Generated by `python benchmarks/run_all.py`. Hardware: one TPU",
+             "v5e chip via the axon tunnel (configs 2-4); x86 host (config 1,",
+             "native C oracle); virtual 8-device CPU mesh (config 5).",
+             "", "| Config | Result |", "|---|---|"]
+    for rec in records:
+        cfg = rec.pop("config")
+        lines.append(f"| {cfg} | {json.dumps(rec)} |")
+    with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ..parallel.caqr import CAQRFactors, caqr_factor, caqr_orgqr
+from ..parallel.caqr import (CAQRFactors, caqr_factor, caqr_orgqr,
+                             cyclic_permutation)
 from ..parallel.mesh import ROW_AXIS, row_sharding
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 from ..utils.geometry import round_up
@@ -26,17 +27,33 @@ def _pad_for_mesh(A: jnp.ndarray, mesh: Mesh, nb: int):
     return A
 
 
-def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG):
+def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
+         layout: str = "block"):
     """Thin distributed QR: returns (Q (m x n) row-sharded, R (n x n)
-    replicated).  Arbitrary m >= n; pads internally to the mesh grid."""
+    replicated).  Arbitrary m >= n; pads internally to the mesh grid.
+
+    layout="cyclic" deals nb-row blocks round-robin over the mesh (the
+    ScaLAPACK-style distribution of BASELINE.json config 5): every shard
+    stays busy until the last P panels instead of going idle once the
+    diagonal passes its contiguous block.  Rows are permuted into / out of
+    the cyclic storage order here; production callers that already hold
+    cyclic data should use parallel.caqr.caqr_factor directly."""
     m, n = A.shape
     if m < n:
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"caqr requires m >= n, got {m}x{n}")
-    Ap = _pad_for_mesh(jnp.asarray(A), mesh, config.panel_width)
+    nb = config.panel_width
+    Ap = _pad_for_mesh(jnp.asarray(A), mesh, nb)
+    from ..parallel.mesh import ROW_AXIS
+    P_ = mesh.shape[ROW_AXIS]
+    if layout == "cyclic":
+        perm, inv = cyclic_permutation(Ap.shape[0], nb, P_)
+        Ap = Ap[jnp.asarray(perm)]
     Ap = jax.device_put(Ap, row_sharding(mesh))
-    factors, R = caqr_factor(Ap, mesh, config)
-    Q = caqr_orgqr(factors, mesh, Ap.shape[1], config)
+    factors, R = caqr_factor(Ap, mesh, config, layout=layout)
+    Q = caqr_orgqr(factors, mesh, Ap.shape[1], config, layout=layout)
+    if layout == "cyclic":
+        Q = Q[jnp.asarray(inv)]
     return Q[:m, :n], R[:n, :n]
 
 

@@ -7,6 +7,7 @@ packed factor object for later orgqr/ormqr/solve use.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
@@ -43,8 +44,42 @@ def qr_factor(A, config: QRConfig = DEFAULT_CONFIG) -> QRResult:
 
 
 def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
-    """Thin QR: returns (Q (m x n), R (n x n)); mode='r' returns R only."""
-    res = qr_factor(A, config)
+    """QR factorization with numpy.linalg.qr-style modes.
+
+    mode='reduced': (Q (m x k), R (k x n)), k = min(m, n) -- wide matrices
+      (m < n, which the reference forbids outright, qr.c:465) are handled by
+      factoring the left m x m block and applying Q^T to the rest.
+    mode='complete': (Q (m x m), R (m x n)).
+    mode='r': R only.
+    """
+    A = jnp.asarray(A)
+    if A.ndim > 2:  # leading batch dims via vmap
+        batch = A.shape[:-2]
+        flat = A.reshape((-1,) + A.shape[-2:])
+        Qs, Rs = jax.vmap(lambda a: qr(a, config, mode="reduced"))(flat)
+        if mode == "r":
+            return Rs.reshape(batch + Rs.shape[-2:])
+        return (Qs.reshape(batch + Qs.shape[-2:]),
+                Rs.reshape(batch + Rs.shape[-2:]))
+    m, n = A.shape
+    k = min(m, n)
+    if m >= n:
+        res = qr_factor(A, config)
+        if mode == "r":
+            return res.R
+        if mode == "complete":
+            from ..ops.blocked import orgqr
+            Q = orgqr(res.factors, m, m, config)
+            R = jnp.pad(res.R, ((0, m - n), (0, 0)))
+            return Q, R
+        return res.Q, res.R
+    # wide: A = [A1 | A2], A1 = Q R11, R12 = Q^T A2
+    res = qr_factor(A[:, :m], config)
+    R12 = res.apply_qt(A[:, m:].astype(config.dtype))[:m]
+    R = jnp.concatenate([res.R, R12], axis=1)
     if mode == "r":
-        return res.R
-    return res.Q, res.R
+        return R
+    if mode == "complete":
+        from ..ops.blocked import orgqr
+        return orgqr(res.factors, m, m, config), R
+    return res.Q, R

@@ -48,16 +48,17 @@ def _batched_cholqr2(blocks: jnp.ndarray, precision):
     al.).  All flops are batched MXU GEMMs + one small batched Cholesky --
     one read of the block data per round vs the n reads of column-wise
     Householder, which is what makes the 1M x 128 TSQR HBM-bound otherwise.
+    The triangular solve is replaced by the fused L/L^-1 recursion
+    (ops.smalllinalg.cholesky_with_inv, vmapped): Q = A L^-T is a GEMM,
+    where XLA's triangular_solve would serialize n substitution steps.
     """
-    import jax.scipy.linalg as jsl
+    from ..ops.smalllinalg import cholesky_with_inv
 
     def one_round(A):
         G = jnp.einsum("lbi,lbj->lij", A, A, precision=precision)
-        Lc = jnp.linalg.cholesky(G)                 # (L, n, n) lower
-        # Q^T = solve(L, A^T): L (R^T) is lower triangular
-        Qt = jax.vmap(lambda l, a: jsl.solve_triangular(l, a.T, lower=True))(
-            Lc, A)
-        return Qt.swapaxes(1, 2), Lc.swapaxes(1, 2)  # Q, R (upper)
+        Lc, Li = jax.vmap(lambda g: cholesky_with_inv(g, precision))(G)
+        Q = jnp.einsum("lbi,lji->lbj", A, Li, precision=precision)  # A L^-T
+        return Q, Lc.swapaxes(1, 2)                                  # R upper
 
     Q1, R1 = one_round(blocks)
     Q, R2 = one_round(Q1)

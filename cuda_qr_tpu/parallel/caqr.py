@@ -72,13 +72,59 @@ def _roll_to_owner(gathered, owner, P_):
     return rolled.reshape(P_ * gathered.shape[1], gathered.shape[2])
 
 
-@partial(jax.jit, static_argnames=("mesh", "config"))
+def _layout_fns(layout: str, nb: int, mloc: int, P_: int):
+    """(owner_of_panel, offset_of_shard) for a row distribution.
+
+    "block":  shard i owns contiguous global rows [i*mloc, (i+1)*mloc);
+              live local rows for panel k start at clip(k*nb - i*mloc).
+    "cyclic": nb-row blocks dealt round-robin (global block g on shard
+              g % P_ at local block g // P_) -- the ScaLAPACK-style layout
+              BASELINE.json config 5 names.  Live blocks for panel k are
+              g >= k, i.e. local blocks b >= ceil((k - i)/P_): still a
+              contiguous local suffix, so the same dynamic-offset machinery
+              serves both layouts; cyclic keeps every shard busy until the
+              last P_ panels instead of idling shards above the diagonal.
+    """
+    if layout == "block":
+        def owner(kk):
+            return (kk * nb) // mloc
+
+        def offset(i, kk):
+            return jnp.clip(kk * nb - i * mloc, 0, mloc)
+    elif layout == "cyclic":
+        def owner(kk):
+            return kk % P_
+
+        def offset(i, kk):
+            bmin = jnp.maximum(kk - i + P_ - 1, 0) // P_
+            return jnp.clip(bmin * nb, 0, mloc)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    return owner, offset
+
+
+def cyclic_permutation(m: int, nb: int, P_: int):
+    """Global-row permutation mapping logical rows to the cyclic layout's
+    storage order (and its inverse): storage position of global block g is
+    (g % P_) * (blocks/P_) + g // P_."""
+    import numpy as np
+    nblk = m // nb
+    order = np.argsort(np.arange(nblk) % P_, kind="stable")
+    perm = (order[:, None] * nb + np.arange(nb)[None, :]).reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(m)
+    return perm, inv
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "layout"))
 def caqr_factor(A: jnp.ndarray, mesh: Mesh,
-                config: QRConfig = DEFAULT_CONFIG):
+                config: QRConfig = DEFAULT_CONFIG, layout: str = "block"):
     """Factor row-sharded A (m x n, m >= n).  Returns (CAQRFactors, R).
 
     m must divide the mesh with per-shard rows a multiple of nb and
     n % nb == 0 (use cuda_qr_tpu.models.caqr.caqr for the padding wrapper).
+    For layout="cyclic", A must already be stored in cyclic row order
+    (cyclic_permutation); the models.caqr wrapper handles that.
     """
     m, n = A.shape
     nb = config.panel_width
@@ -90,16 +136,16 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
     k = n // nb
     prec = config.precision
     A = A.astype(config.dtype)
+    owner_of, offset_of = _layout_fns(layout, nb, mloc, P_)
 
     def shard_fn(a):
         i = jax.lax.axis_index(ROW_AXIS)
-        row0 = i * mloc
         taus, Ts, tpacked, tTs = [], [], [], []
         for kk in range(k):
             pcol = kk * nb
-            owner = pcol // mloc
+            owner = owner_of(kk)
             # my live-row offset into this shard (mloc == fully dead)
-            off = jnp.clip(pcol - row0, 0, mloc)
+            off = offset_of(i, kk)
             dead = off >= mloc
 
             # 1. leaf factorization of my panel rows
@@ -152,9 +198,14 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
         check_vma=False,
     )(A)
 
-    # Final R: finished rows live in A's top n rows except each panel's
-    # diagonal block, which is the stacked QR's top triangle.
-    R = jnp.triu(a[:n])
+    # Final R: finished rows live in the logical top n rows except each
+    # panel's diagonal block, which is the stacked QR's top triangle.
+    if layout == "cyclic":
+        # logical row l lives at storage row inv[l]
+        _, inv = cyclic_permutation(m, nb, P_)
+        R = jnp.triu(a[jnp.asarray(inv[:n])])
+    else:
+        R = jnp.triu(a[:n])
     for kk in range(k):
         pcol = kk * nb
         R = R.at[pcol:pcol + nb, pcol:pcol + nb].set(
@@ -164,12 +215,13 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
     return factors, R
 
 
-@partial(jax.jit, static_argnames=("mesh", "config", "n_cols"))
+@partial(jax.jit, static_argnames=("mesh", "config", "n_cols", "layout"))
 def caqr_orgqr(factors: CAQRFactors, mesh: Mesh, n_cols: int,
-               config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+               config: QRConfig = DEFAULT_CONFIG,
+               layout: str = "block") -> jnp.ndarray:
     """Explicit thin Q (m x n_cols) from two-level CAQR factors,
-    row-sharded.  Applies the per-panel operators in reverse:
-    Q <- H_leaf,k (H_tree,k Q) for k = last..0."""
+    row-sharded (in the given layout's storage order).  Applies the
+    per-panel operators in reverse: Q <- H_leaf,k (H_tree,k Q)."""
     m, n = factors.local_packed.shape
     nb = config.panel_width
     P_ = mesh.shape[ROW_AXIS]
@@ -177,17 +229,23 @@ def caqr_orgqr(factors: CAQRFactors, mesh: Mesh, n_cols: int,
     k = n // nb
     prec = config.precision
 
+    owner_of, offset_of = _layout_fns(layout, nb, mloc, P_)
+
     def shard_fn(ap, ltaus, lTs, tpacked, tTs):
         i = jax.lax.axis_index(ROW_AXIS)
-        row0 = i * mloc
-        # my rows of I(m, n_cols)
-        r = jax.lax.broadcasted_iota(jnp.int32, (mloc, n_cols), 0) + row0
+        # my rows of I(m, n_cols), in LOGICAL row indices (for "cyclic" the
+        # storage row r of shard i is logical ((r//nb)*P + i)*nb + r%nb)
+        r = jax.lax.broadcasted_iota(jnp.int32, (mloc, n_cols), 0)
+        if layout == "cyclic":
+            logical = ((r // nb) * P_ + i) * nb + r % nb
+        else:
+            logical = r + i * mloc
         c = jax.lax.broadcasted_iota(jnp.int32, (mloc, n_cols), 1)
-        q = (r == c).astype(ap.dtype)
+        q = (logical == c).astype(ap.dtype)
         for kk in reversed(range(k)):
             pcol = kk * nb
-            owner = pcol // mloc
-            off = jnp.clip(pcol - row0, 0, mloc)
+            owner = owner_of(kk)
+            off = offset_of(i, kk)
             dead = off >= mloc
             sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
 

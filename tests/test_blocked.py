@@ -78,3 +78,32 @@ def test_against_numpy_r_signs(rng):
     R = np.asarray(extract_r(fac, 32))
     R_np = np.linalg.qr(A, mode="r")
     np.testing.assert_allclose(np.abs(R), np.abs(R_np), rtol=1e-10, atol=1e-12)
+
+
+def test_qr_wide(rng):
+    """m < n: reference forbids this outright (qr.c:465); we factor it."""
+    from cuda_qr_tpu.models.qr import qr
+    A = rng.standard_normal((20, 50))
+    Q, R = qr(A, CFG64)
+    assert Q.shape == (20, 20) and R.shape == (20, 50)
+    np.testing.assert_allclose(np.asarray(Q @ R), A, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(20), atol=1e-12)
+    assert np.abs(np.tril(np.asarray(R)[:, :20], -1)).max() < 1e-14
+
+
+def test_qr_complete(rng):
+    from cuda_qr_tpu.models.qr import qr
+    A = rng.standard_normal((40, 24))
+    Q, R = qr(A, CFG64, mode="complete")
+    assert Q.shape == (40, 40) and R.shape == (40, 24)
+    np.testing.assert_allclose(np.asarray(Q @ R), A, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(40), atol=1e-12)
+
+
+def test_qr_batched(rng):
+    from cuda_qr_tpu.models.qr import qr
+    A = rng.standard_normal((3, 40, 24))
+    Q, R = qr(A, CFG64)
+    assert Q.shape == (3, 40, 24) and R.shape == (3, 24, 24)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(Q[i] @ R[i]), A[i], atol=1e-11)

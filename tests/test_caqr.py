@@ -52,3 +52,24 @@ def test_caqr_f32(rng, mesh):
     chk = check_qr(A, np.asarray(Q), np.asarray(R))
     assert chk.residual < 4 * 128 * chk.eps, chk
     assert chk.orthogonality < 8 * 128 * chk.eps, chk
+
+
+@pytest.mark.parametrize("m,n", [(128, 64), (128, 128), (256, 96)])
+def test_caqr_cyclic_layout(rng, mesh, m, n):
+    """Block-cyclic row distribution (BASELINE config 5's layout)."""
+    A = rng.standard_normal((m, n))
+    Q, R = caqr(jnp.asarray(A), mesh, CFG, layout="cyclic")
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.residual < 4 * max(n, 16) * chk.eps, (m, n, chk)
+    assert chk.orthogonality < 8 * max(n, 16) * chk.eps, (m, n, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_caqr_cyclic_matches_block_r(rng, mesh):
+    A = rng.standard_normal((128, 64))
+    _, Rb = caqr(jnp.asarray(A), mesh, CFG, layout="block")
+    _, Rc = caqr(jnp.asarray(A), mesh, CFG, layout="cyclic")
+    db = np.sign(np.diag(np.asarray(Rb)))
+    dc = np.sign(np.diag(np.asarray(Rc)))
+    np.testing.assert_allclose(np.asarray(Rb) * db[:, None],
+                               np.asarray(Rc) * dc[:, None], atol=1e-11)
