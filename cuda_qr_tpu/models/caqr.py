@@ -10,8 +10,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ..parallel.caqr import (CAQRFactors, caqr_factor, caqr_orgqr,
-                             cyclic_permutation)
+from ..parallel.caqr import caqr_factor, caqr_orgqr, cyclic_permutation
 from ..parallel.mesh import ROW_AXIS, row_sharding
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 from ..utils.geometry import round_up

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops.householder import geqr2, larfb, larft, unpack_r, unpack_v
 from ..utils.config import DEFAULT_CONFIG, QRConfig
-from ..utils.geometry import ceildiv, round_up
+from ..utils.geometry import ceildiv
 
 
 def _batched_qr(blocks: jnp.ndarray, precision):

@@ -68,7 +68,23 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
         L1, L1i = cholesky_with_inv(G, prec)
         Q1 = jnp.einsum("ri,ji->rj", X, L1i, precision=prec)     # X L1^-T
         G2 = jnp.einsum("ri,rj->ij", Q1, Q1, precision=prec)
-        L2, L2i = cholesky_with_inv(G2, prec)
+        # Round 2: G2 = I + E with ||E|| ~ cond(X) * eps after round 1, so
+        # chol(I + E) = I + tril(E,-1) + diag(E)/2 + O(||E||^2).  When E is
+        # small enough that the O(E^2) term is below eps, the sequential
+        # Cholesky chain is replaced by two cheap triangle masks; the full
+        # factorization runs only for ill-conditioned panels (lax.cond).
+        E = G2 - jnp.eye(nb, dtype=dtype)
+        emax = jnp.max(jnp.abs(E))
+        tol = 3e-4 if dtype == jnp.float32 else 3e-8
+
+        def taylor(E):
+            C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
+            eye = jnp.eye(nb, dtype=dtype)
+            return eye + C, eye - C
+
+        L2, L2i = jax.lax.cond(emax < tol, taylor,
+                               lambda E: cholesky_with_inv(
+                                   E + jnp.eye(nb, dtype=dtype), prec), E)
         Q = jnp.einsum("ri,ji->rj", Q1, L2i, precision=prec)
         Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
 

@@ -37,9 +37,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.householder import geqr2, geqr2_dyn, larfb, larft, unpack_r, unpack_v
+from ..ops.householder import geqr2, geqr2_dyn, larfb, larft, unpack_v
 from ..utils.config import DEFAULT_CONFIG, QRConfig
-from ..utils.geometry import round_up
 from .mesh import ROW_AXIS
 
 
