@@ -1,0 +1,179 @@
+"""Resumable distributed CAQR: panel-at-a-time driver with checkpointing.
+
+The monolithic caqr_factor jits the whole panel loop -- fastest, but a
+crash loses everything.  This driver runs ONE panel per device call (a
+single compiled step reused for every panel: the panel index, owner, and
+column window are all traced, with full-width masked trailing updates like
+the scan driver) and snapshots (A, accumulated factors, panel index) every
+``every`` panels via utils.checkpoint.  Killing the process at any point
+loses at most ``every`` panels of work; rerunning the same call resumes
+from the snapshot.  This is the elastic-recovery story the reference lacks
+entirely (HANDLE_ERROR exits, qr.cu:467-471; SURVEY.md S5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.householder import geqr2, geqr2_dyn, larfb, larft, unpack_v
+from ..utils.checkpoint import load_state, save_state
+from ..utils.config import DEFAULT_CONFIG, QRConfig
+from .caqr import CAQRFactors, _layout_fns, _unpack_v_dyn, cyclic_permutation
+from .mesh import ROW_AXIS, row_sharding
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "layout"))
+def _panel_step(A, kk, mesh: Mesh, config: QRConfig, layout: str):
+    """One CAQR panel step with a TRACED panel index kk.
+
+    Returns (A_updated, ltau (P,nb), lT (P,nb,nb), tpacked (P*nb,nb),
+    tT (nb,nb)).  Column windows are handled by masking (uniform shapes
+    => one compilation serves every panel)."""
+    m, n = A.shape
+    nb = config.panel_width
+    P_ = mesh.shape[ROW_AXIS]
+    mloc = m // P_
+    prec = config.precision
+    _, offset_of = _layout_fns(layout, nb, mloc, P_)
+    # owner must be computable from a TRACED panel index here (the static
+    # owner_of from _layout_fns serves the monolithic per-panel unroll)
+    if layout == "cyclic":
+        def owner_dyn(kk):
+            return jnp.mod(kk, P_)
+    else:
+        def owner_dyn(kk):
+            return (kk * nb) // mloc
+
+    def shard_fn(a, kk):
+        kk = kk[0]
+        i = jax.lax.axis_index(ROW_AXIS)
+        pcol = kk * nb
+        owner = owner_dyn(kk)
+        off = offset_of(i, kk).astype(jnp.int32)
+        dead = off >= mloc
+        sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+        # leaf factor of the panel columns (dynamic window)
+        panel = jax.lax.dynamic_slice(a, (jnp.int32(0), pcol), (mloc, nb))
+        lp, ltau = geqr2_dyn(panel, off, precision=prec)
+        V = _unpack_v_dyn(lp, off)
+        T = larft(V, ltau, precision=prec)
+        a = jax.lax.dynamic_update_slice(a, lp, (jnp.int32(0), pcol))
+
+        # local trailing update, full width, masked to columns > panel
+        W = jnp.einsum("ri,rj->ij", V, a, precision=prec)
+        W = jnp.einsum("ij,ik->jk", T, W, precision=prec)
+        U = jnp.einsum("ri,ij->rj", V, W, precision=prec)
+        a = a - jnp.where(col_iota >= pcol + nb, U, 0)
+
+        # gathered stacked QR of the R blocks, owner slot first
+        Rl = jnp.triu(jax.lax.dynamic_slice(lp, (sl, jnp.int32(0)), (nb, nb)))
+        Rl = jnp.where(dead, 0, Rl)
+        gathered = jax.lax.all_gather(Rl, ROW_AXIS)          # (P, nb, nb)
+        stacked = jnp.roll(gathered, -owner, axis=0).reshape(P_ * nb, nb)
+        tp, ttau = geqr2(stacked, precision=prec)
+        V2 = unpack_v(tp)
+        T2 = larft(V2, ttau, precision=prec)
+
+        # stacked update of trailing strips (full width, masked)
+        strip = jax.lax.dynamic_slice(a, (sl, jnp.int32(0)), (nb, n))
+        strip = jnp.where((col_iota >= pcol + nb) & ~dead, strip, 0)
+        gstrip = jax.lax.all_gather(strip, ROW_AXIS)         # (P, nb, n)
+        stackW = jnp.roll(gstrip, -owner, axis=0).reshape(P_ * nb, n)
+        stackW = larfb(stackW, V2, T2, transpose=True, precision=prec)
+        slot = jnp.mod(i - owner, P_)
+        mine = jax.lax.dynamic_slice_in_dim(stackW, slot * nb, nb, 0)
+        cur = jax.lax.dynamic_slice(a, (sl, jnp.int32(0)), (nb, n))
+        mine = jnp.where(col_iota >= pcol + nb, mine, cur)
+        upd = jax.lax.dynamic_update_slice(a, mine, (sl, jnp.int32(0)))
+        a = jnp.where(dead, a, upd)
+        return a, ltau[None], T[None], tp, T2
+
+    kk_arr = jnp.full((mesh.shape[ROW_AXIS],), kk, dtype=jnp.int32)
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(ROW_AXIS, None), P(ROW_AXIS)),
+        out_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS), P(), P()),
+        check_vma=False,
+    )(A, kk_arr)
+
+
+def caqr_factor_resumable(A, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
+                          layout: str = "block",
+                          checkpoint_path: str | None = None,
+                          every: int = 4):
+    """Distributed CAQR with per-panel checkpointing.
+
+    Same result as parallel.caqr.caqr_factor (up to fp reordering).  If
+    ``checkpoint_path`` exists, resumes from it; snapshots every ``every``
+    panels.  A must already be padded/sharded in the layout's storage order
+    (this is the production entry point; tests drive it directly).
+    """
+    m, n = A.shape
+    nb = config.panel_width
+    k = n // nb
+    P_ = mesh.shape[ROW_AXIS]
+
+    start = 0
+    ltaus, lTs, tpackeds, tTs = [], [], [], []
+    if checkpoint_path:
+        state, meta = load_state(checkpoint_path)
+        if state is not None:
+            if meta["m"] != m or meta["n"] != n or meta["nb"] != nb or \
+               meta["layout"] != layout or meta["P"] != P_:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} does not match this "
+                    f"problem: {meta} vs m={m} n={n} nb={nb} layout={layout}")
+            start = int(meta["next_panel"])
+            A = jax.device_put(jnp.asarray(state["A"]), row_sharding(mesh))
+            for kk in range(start):
+                ltaus.append(state[f"ltau{kk}"])
+                lTs.append(state[f"lT{kk}"])
+                tpackeds.append(state[f"tp{kk}"])
+                tTs.append(state[f"tT{kk}"])
+
+    for kk in range(start, k):
+        A, ltau, lT, tp, tT = _panel_step(A, kk, mesh, config, layout)
+        ltaus.append(np.asarray(ltau))
+        lTs.append(np.asarray(lT))
+        tpackeds.append(np.asarray(tp))
+        tTs.append(np.asarray(tT))
+        done = kk + 1
+        if checkpoint_path and (done % every == 0 or done == k) and done < k:
+            state = {"A": A}
+            for j in range(done):
+                state[f"ltau{j}"] = ltaus[j]
+                state[f"lT{j}"] = lTs[j]
+                state[f"tp{j}"] = tpackeds[j]
+                state[f"tT{j}"] = tTs[j]
+            save_state(checkpoint_path, state,
+                       {"next_panel": done, "m": m, "n": n, "nb": nb,
+                        "layout": layout, "P": P_})
+
+    # assemble factors + R exactly like caqr_factor
+    tpacked = jnp.stack([jnp.asarray(t) for t in tpackeds])
+    tT = jnp.stack([jnp.asarray(t) for t in tTs])
+    ltau = jnp.concatenate([jnp.asarray(t) for t in ltaus], axis=0)
+    ltau = ltau.reshape(k, P_, nb).swapaxes(0, 1)
+    lT = jnp.concatenate([jnp.asarray(t) for t in lTs], axis=0)
+    lT = lT.reshape(k, P_, nb, nb).swapaxes(0, 1)
+
+    if layout == "cyclic":
+        _, inv = cyclic_permutation(m, nb, P_)
+        R = jnp.triu(A[jnp.asarray(inv[:n])])
+    else:
+        R = jnp.triu(A[:n])
+    for kk in range(k):
+        pcol = kk * nb
+        R = R.at[pcol:pcol + nb, pcol:pcol + nb].set(
+            jnp.triu(tpacked[kk, :nb]))
+    factors = CAQRFactors(local_packed=A, local_taus=ltau, local_Ts=lT,
+                          tree_packed=tpacked, tree_Ts=tT)
+    return factors, R
