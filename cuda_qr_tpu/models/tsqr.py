@@ -129,22 +129,23 @@ def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
     Qleaf, R = _leaf_qr(blocks, config)
     levels = []
 
-    # Reduction tree: QR of stacked sibling R's.
+    # Reduction tree: QR of stacked sibling R's.  Tree nodes use the same
+    # leaf method (explicit Q): with cholqr2 the whole tree is batched MXU
+    # GEMMs + tiny fused Cholesky recursions -- no per-column chains at all.
     while R.shape[0] > 1:
         Lk = R.shape[0]
         if Lk % 2:  # odd: pad with a zero R block (QR of zeros is zeros)
             R = jnp.concatenate([R, jnp.zeros_like(R[:1])], axis=0)
             Lk += 1
         stacked = R.reshape(Lk // 2, 2 * n, n)
-        packed_k, T_k, R = _batched_qr(stacked, prec)
-        levels.append((packed_k, T_k))
+        Qk, R = _leaf_qr(stacked, config)
+        levels.append(Qk)                              # (nodes, 2n, n)
 
     R_final = R[0]
 
     # Q build-down: root -> leaves.
     Qcur = None  # (num_nodes, n, n) slices handed to each level's nodes
-    for packed_k, T_k in reversed(levels):
-        Qk = _batched_orgqr(packed_k, T_k, prec)      # (nodes, 2n, n)
+    for Qk in reversed(levels):
         if Qcur is not None:
             # a padded (phantom) sibling at this level has no parent slice:
             # take only the real nodes' n x n pieces
