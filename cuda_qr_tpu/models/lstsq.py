@@ -47,3 +47,15 @@ def lstsq(A: jnp.ndarray, b: jnp.ndarray,
     if vec:
         x, resid = x[:, 0], resid[0]
     return LstsqResult(x=x, residual_norm=resid)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def solve(A: jnp.ndarray, b: jnp.ndarray,
+          config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+    """Solve the square system A x = b via QR (backward-stable alternative
+    to LU for moderately-sized dense systems)."""
+    m, n = A.shape
+    if m != n:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"solve requires square A, got {m}x{n}")
+    return lstsq(A, b, config).x

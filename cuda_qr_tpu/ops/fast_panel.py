@@ -89,17 +89,23 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
         Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
 
         # --- Householder reconstruction ---
-        col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
-        diag_mask = (r_iota == off + col).astype(dtype)          # rows J
-        qd = jnp.sum(Q * diag_mask, axis=0)                      # diag_J(Q)
+        # All small quantities come from the nb x nb diagonal block of Q;
+        # the only full-height work is ONE GEMM (V = -Q (S Wi) with the
+        # rows-J correction), never a materialized E_J - Q S.
+        QJ = jax.lax.dynamic_slice(Q, (off, jnp.int32(0)), (nb, nb))
+        qd = jnp.diagonal(QJ)
         s = jnp.where(qd >= 0, -1, 1).astype(dtype)              # = -sign conv
-        Y = diag_mask - Q * s[None, :]                           # E_J - Q S
-        YJ = jax.lax.dynamic_slice(Y, (off, jnp.int32(0)), (nb, nb))
+        YJ = jnp.eye(nb, dtype=dtype) - QJ * s[None, :]
         VJ, W, VJi, Wi = lu_with_inv(YJ, prec)
-        V = jnp.einsum("rj,jk->rk", Y, Wi, precision=prec)
+        # V = (E_J - Q S) Wi = place(Wi at rows J) - Q (S Wi)
+        Wi_s = s[:, None] * Wi
+        Z = jnp.einsum("rj,jk->rk", Q, Wi_s, precision=prec)     # (m, nb)
+        ZJ = jax.lax.dynamic_slice(Z, (off, jnp.int32(0)), (nb, nb))
+        V = jax.lax.dynamic_update_slice(-Z, Wi - ZJ, (off, jnp.int32(0)))
         T = jnp.einsum("ij,kj->ik", W, VJi, precision=prec)      # W VJ^-T
         tau = jnp.diagonal(T)
         R_house = s[:, None] * Rpos
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
 
         # --- packed assembly: panel above off, R in rows J, V tails below ---
         R_placed = jax.lax.dynamic_update_slice(

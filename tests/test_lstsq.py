@@ -43,3 +43,13 @@ def test_lstsq_exact_system(rng):
 def test_lstsq_wide_raises(rng):
     with pytest.raises(ValueError):
         lstsq(jnp.zeros((10, 20)), jnp.zeros(10), CFG)
+
+
+def test_solve_square(rng):
+    from cuda_qr_tpu.models.lstsq import solve
+    A = rng.standard_normal((40, 40))
+    x_true = rng.standard_normal(40)
+    x = solve(jnp.asarray(A), jnp.asarray(A @ x_true), CFG)
+    np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-9)
+    with pytest.raises(ValueError):
+        solve(jnp.zeros((4, 5)), jnp.zeros(4), CFG)
