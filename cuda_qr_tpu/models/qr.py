@@ -7,6 +7,8 @@ packed factor object for later orgqr/ormqr/solve use.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,41 @@ def qr_factor(A, config: QRConfig = DEFAULT_CONFIG) -> QRResult:
     return QRResult(qr_blocked(A, config), m, n, config)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _qr_diff(A, config: QRConfig):
+    res = qr_factor(A, config)
+    return res.Q, res.R
+
+
+def _qr_diff_fwd(A, config):
+    Q, R = _qr_diff(A, config)
+    return (Q, R), (Q, R)
+
+
+def _qr_diff_bwd(config, residuals, cotangents):
+    """Reverse rule for thin QR, m >= n (the standard copyltu formula):
+        M = R dR^T - dQ^T Q
+        dA = (dQ + Q (tril(M,-1) + tril(M,-1)^T + diag(M))) R^{-T}
+    The drivers' fori/while loops are not reverse-differentiable, so QR is
+    exposed as a custom-VJP primitive -- cheaper than differentiating
+    through the factorization anyway (two GEMMs + one triangular solve).
+    """
+    import jax.scipy.linalg as jsl
+    Q, R = residuals
+    dQ, dR = cotangents
+    prec = config.precision
+    M = (jnp.einsum("ij,kj->ik", R, dR, precision=prec)
+         - jnp.einsum("ji,jk->ik", dQ, Q, precision=prec))
+    tri = jnp.tril(M, -1)
+    copyltu = tri + tri.T + jnp.diag(jnp.diagonal(M))
+    rhs = dQ + jnp.einsum("ij,jk->ik", Q, copyltu, precision=prec)
+    dA = jsl.solve_triangular(R, rhs.T, lower=False).T
+    return (dA,)
+
+
+_qr_diff.defvjp(_qr_diff_fwd, _qr_diff_bwd)
+
+
 def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     """QR factorization with numpy.linalg.qr-style modes.
 
@@ -64,6 +101,8 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     m, n = A.shape
     k = min(m, n)
     if m >= n:
+        if mode == "reduced":
+            return _qr_diff(A, config)  # differentiable (custom VJP)
         res = qr_factor(A, config)
         if mode == "r":
             return res.R

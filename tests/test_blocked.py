@@ -107,3 +107,44 @@ def test_qr_batched(rng):
     assert Q.shape == (3, 40, 24) and R.shape == (3, 24, 24)
     for i in range(3):
         np.testing.assert_allclose(np.asarray(Q[i] @ R[i]), A[i], atol=1e-11)
+
+
+def test_qr_grad_matches_xla(rng):
+    """qr is differentiable (custom VJP) and matches jnp.linalg.qr grads."""
+    import jax
+    from cuda_qr_tpu.models.qr import qr
+    A = jnp.asarray(rng.standard_normal((12, 6)))
+
+    def loss_ours(A):
+        Q, R = qr(A, CFG64)
+        return jnp.sum(Q * jnp.cos(R.sum())) + jnp.sum(R ** 2) * 0.1
+
+    def loss_xla(A):
+        Q, R = jnp.linalg.qr(A)
+        # sign-align columns to our convention so the losses match
+        s = jnp.sign(jnp.diagonal(R)) * jnp.sign(
+            jnp.diagonal(qr(A, CFG64)[1]))
+        Q, R = Q * s[None, :], R * s[:, None]
+        return jnp.sum(Q * jnp.cos(R.sum())) + jnp.sum(R ** 2) * 0.1
+
+    g1 = jax.grad(loss_ours)(A)
+    g2 = jax.grad(loss_xla)(A)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-8)
+
+
+def test_qr_grad_finite_difference(rng):
+    import jax
+    from cuda_qr_tpu.models.qr import qr
+    A = np.asarray(rng.standard_normal((10, 5)))
+
+    def loss(A):
+        Q, R = qr(A, CFG64)
+        return jnp.sum(R ** 2) + jnp.sum(Q[:, 0] ** 3)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(A)))
+    eps = 1e-6
+    for idx in [(0, 0), (3, 2), (9, 4)]:
+        Ap = A.copy(); Ap[idx] += eps
+        Am = A.copy(); Am[idx] -= eps
+        fd = (float(loss(jnp.asarray(Ap))) - float(loss(jnp.asarray(Am)))) / (2 * eps)
+        assert abs(fd - g[idx]) < 1e-5 * max(1, abs(fd)), (idx, fd, g[idx])
