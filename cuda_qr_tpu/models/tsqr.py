@@ -178,11 +178,11 @@ def _tsqr_r_impl(A, config):
         return None, unpack_r(packed)[:n]
     L = ceildiv(m, b)
     blocks = _pad_rows(A, L * b).reshape(L, b, n)
-    _, _, R = _batched_qr(blocks, prec)
+    _, R = _leaf_qr(blocks, config)
     while R.shape[0] > 1:
         Lk = R.shape[0]
         if Lk % 2:
             R = jnp.concatenate([R, jnp.zeros_like(R[:1])], axis=0)
             Lk += 1
-        _, _, R = _batched_qr(R.reshape(Lk // 2, 2 * n, n), prec)
+        _, R = _leaf_qr(R.reshape(Lk // 2, 2 * n, n), config)
     return None, R[0]

@@ -130,8 +130,9 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
     P_ = mesh.shape[ROW_AXIS]
     mloc = m // P_
     if m % P_ or mloc % nb or n % nb or n > m:
-        raise ValueError(f"caqr_factor needs m%P==0, (m/P)%nb==0, n%nb==0, "
-                         f"n<=m; got m={m} n={n} P={P_} nb={nb}")
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"caqr_factor needs m%P==0, (m/P)%nb==0, n%nb==0, "
+                           f"n<=m; got m={m} n={n} P={P_} nb={nb}")
     k = n // nb
     prec = config.precision
     A = A.astype(config.dtype)
