@@ -15,6 +15,9 @@ Commands:
   compare m n  -- our QR vs XLA's jnp.linalg.qr (the MAGMA-comparator
                   analog, qr.cu:555-565)
   oracle m n pr pc -- run the native C oracle end to end
+  caqr m n [--devices D] [--layout block|cyclic] -- distributed CAQR over
+                  the available devices (use JAX_PLATFORMS=cpu +
+                  --xla_force_host_platform_device_count for a virtual mesh)
 """
 
 from __future__ import annotations
@@ -134,6 +137,36 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_caqr(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from .models.caqr import caqr
+    from .parallel.mesh import row_mesh
+    from .utils.timing import bench
+    from .utils.verify import check_qr
+
+    cfg = _config(args)
+    n_dev = args.devices or len(jax.devices())
+    mesh = row_mesh(n_dev)
+    rng = np.random.default_rng(args.seed)
+    A = rng.standard_normal((args.m, args.n)).astype(np.float64)
+    Aj = jnp.asarray(A, dtype=cfg.dtype)
+    r = bench(lambda a: caqr(a, mesh, cfg, layout=args.layout), Aj,
+              reps=args.trials)
+    rec = {"cmd": "caqr", "m": args.m, "n": args.n, "devices": n_dev,
+           "layout": args.layout, "dtype": args.dtype,
+           "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        Q, R = caqr(Aj, mesh, cfg, layout=args.layout)
+        chk = check_qr(A, np.asarray(Q), np.asarray(R))
+        rec |= {"residual": chk.residual, "orthogonality": chk.orthogonality,
+                "ok": chk.ok}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def cmd_oracle(args):
     import numpy as np
     from .oracle import binding
@@ -169,6 +202,11 @@ def main(argv=None):
     sp.add_argument("n", type=int)
     sp.add_argument("pr", type=int)
     sp.add_argument("pc", type=int)
+    sp = sub.add_parser("caqr")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--devices", type=int, default=None)
+    sp.add_argument("--layout", choices=["block", "cyclic"], default="block")
     args = p.parse_args(argv)
     for dim in ("m", "n", "k", "pr", "pc"):
         if getattr(args, dim, 1) < 1:
@@ -176,7 +214,8 @@ def main(argv=None):
     if getattr(args, "n", 0) > getattr(args, "m", 0):
         p.error(f"need n <= m, got m={args.m} n={args.n}")
     return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
-            "compare": cmd_compare, "oracle": cmd_oracle}[args.cmd](args)
+            "compare": cmd_compare, "oracle": cmd_oracle,
+            "caqr": cmd_caqr}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -31,3 +31,16 @@ def test_cli_rejects_bad_sizes():
     assert out.returncode == 2 and "must be >= 1" in out.stderr
     out = run_cli("factor", "10", "20")
     assert out.returncode == 2 and "n <= m" in out.stderr
+
+
+def test_cli_caqr_virtual_mesh():
+    import os
+    out = subprocess.run(
+        [sys.executable, "-m", "cuda_qr_tpu", "--no-pallas", "--trials", "1",
+         "caqr", "128", "64", "--devices", "8", "--layout", "cyclic"],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": "/root/repo",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["devices"] == 8
