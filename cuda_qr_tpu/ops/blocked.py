@@ -247,11 +247,45 @@ def orgqr(factors: PackedQR, m: int, n: int,
     explicitQR (qr.cu:582-686), which multiplies a dense m x m H per
     reflector into Q (O(m^3) each); here each *panel* costs three GEMMs:
     Q <- Q - V T (V^T Q), applied last panel to first.
+
+    Structure exploited: when panel i is applied (reverse order), every
+    column j < i*nb of the accumulating Q is still exactly e_j (panels
+    >= i only mix rows >= i*nb, and e_j's single 1 sits above them), so
+    each stage operates on the diagonal-trailing SUBMATRIX -- rows AND
+    columns sliced -- halving the GEMM volume vs a full-width sweep.
     """
     packed, taus, Ts = factors
     m_pad, n_pad = packed.shape
+    nb = config.panel_width
+    k = n_pad // nb
+    prec = config.precision
+    stages = max(1, min(config.scan_stages, k))
+    bounds = [round(s * k / stages) for s in range(stages + 1)]
     Q = jnp.eye(m_pad, n, dtype=packed.dtype)
-    Q = _apply_panels_scan(packed, Ts, Q, transpose=False, config=config)
+
+    for ks, ke in reversed(list(zip(bounds[:-1], bounds[1:]))):
+        if ke == ks:
+            continue
+        r0 = ks * nb
+        c0 = min(ks * nb, n)
+        sub = Q[r0:, c0:]
+        psub = packed[r0:, r0:]
+        kg = ke - ks
+
+        def body(j, B, psub=psub, ks=ks, ke=ke, kg=kg):
+            j = jnp.asarray(j, jnp.int32)
+            i = ke - 1 - j
+            off = (i - ks) * nb
+            panel = jax.lax.dynamic_slice(
+                psub, (jnp.int32(0), off), (psub.shape[0], nb))
+            V = _unpack_v_dyn(panel, off)
+            T = jax.lax.dynamic_slice(
+                Ts, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
+            return larfb(B, V, T.astype(B.dtype), transpose=False,
+                         precision=prec).astype(B.dtype)
+
+        sub = jax.lax.fori_loop(0, kg, body, sub)
+        Q = Q.at[r0:, c0:].set(sub)
     return Q[:m]
 
 
