@@ -148,3 +148,12 @@ def test_qr_grad_finite_difference(rng):
         Am = A.copy(); Am[idx] -= eps
         fd = (float(loss(jnp.asarray(Ap))) - float(loss(jnp.asarray(Am)))) / (2 * eps)
         assert abs(fd - g[idx]) < 1e-5 * max(1, abs(fd)), (idx, fd, g[idx])
+
+
+def test_qr_wide_complete(rng):
+    from cuda_qr_tpu.models.qr import qr
+    A = rng.standard_normal((16, 40))
+    Q, R = qr(A, CFG64, mode="complete")
+    assert Q.shape == (16, 16) and R.shape == (16, 40)
+    np.testing.assert_allclose(np.asarray(Q @ R), A, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(16), atol=1e-12)

@@ -108,3 +108,13 @@ def test_oracle_main_binary():
                           "8"], check=True, capture_output=True, text=True)
     rec = json.loads(out.stdout)
     assert rec["residual"] < 1e-13 and rec["m"] == 64
+
+
+def test_oracle_baseline_config1():
+    """BASELINE.json config 1: 1024^2 fp64 on the C oracle (sliding panel),
+    residual + orthogonality at fp64 LAPACK tolerance."""
+    rng = np.random.default_rng(12)
+    A = rng.standard_normal((1024, 1024))
+    resid, orth = binding.factor_and_check(A, 64, 16)
+    assert resid < 1024 * 2.3e-16 * 20, resid
+    assert orth < 1024 * 2.3e-16 * 200, orth
