@@ -90,12 +90,13 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     mode='r': R only.
     """
     A = jnp.asarray(A)
-    if A.ndim > 2:  # leading batch dims via vmap
+    if A.ndim > 2:  # leading batch dims via vmap, honoring the requested mode
         batch = A.shape[:-2]
         flat = A.reshape((-1,) + A.shape[-2:])
-        Qs, Rs = jax.vmap(lambda a: qr(a, config, mode="reduced"))(flat)
         if mode == "r":
+            Rs = jax.vmap(lambda a: qr(a, config, mode="r"))(flat)
             return Rs.reshape(batch + Rs.shape[-2:])
+        Qs, Rs = jax.vmap(lambda a: qr(a, config, mode=mode))(flat)
         return (Qs.reshape(batch + Qs.shape[-2:]),
                 Rs.reshape(batch + Rs.shape[-2:]))
     m, n = A.shape

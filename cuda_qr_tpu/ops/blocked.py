@@ -124,11 +124,17 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
         W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
         W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
         U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
-        A = A - jnp.where(cmask_iota >= off + nb, U, 0)
-        A = jax.lax.dynamic_update_slice(A, packed, (jnp.int32(0), off))
-        taus = jax.lax.dynamic_update_slice(taus, tau[None], (i, jnp.int32(0)))
+        # T (and hence U) may be float32 for bf16 panels; cast back so the
+        # carry keeps A's dtype instead of promoting.
+        A = A - jnp.where(cmask_iota >= off + nb, U, 0).astype(A.dtype)
+        A = jax.lax.dynamic_update_slice(
+            A, packed.astype(A.dtype), (jnp.int32(0), off))
+        # Panel methods may return bf16 tau/T; the carry is float32 for bf16
+        # inputs, so cast to the carry dtype before the slice update.
+        taus = jax.lax.dynamic_update_slice(
+            taus, tau[None].astype(taus.dtype), (i, jnp.int32(0)))
         Ts = jax.lax.dynamic_update_slice(
-            Ts, T[None], (i, jnp.int32(0), jnp.int32(0)))
+            Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
         return A, taus, Ts
 
     tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
@@ -145,8 +151,16 @@ def _panel_factor_dyn(panel: jnp.ndarray, off, config: QRConfig):
         from .fast_panel import panel_factor_cholqr2hr
         return panel_factor_cholqr2hr(panel, off, config)
     if method == "geqrt":
-        from .geqrt import _geqrt_recursive
-        return _geqrt_recursive(panel, off, config)
+        # Same guards as geqrt_panel: fp64 / too-tall panels fall back to the
+        # jnp path; bf16 is computed in fp32 and cast back.
+        if (panel.dtype != jnp.float64
+                and panel.shape[0] <= config.max_vmem_panel_rows):
+            from .geqrt import _geqrt_recursive
+            if panel.dtype == jnp.bfloat16:
+                packed, tau, T = _geqrt_recursive(
+                    panel.astype(jnp.float32), off, config)
+                return packed.astype(jnp.bfloat16), tau, T
+            return _geqrt_recursive(panel, off, config)
     from .householder import geqr2_dyn
     packed, tau = geqr2_dyn(panel, off, precision=config.precision)
     T = larft(_unpack_v_dyn(packed, off), tau, precision=config.precision)
@@ -186,7 +200,7 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
         if off + nb < n_pad:
             V = unpack_v(panel[off:], 0)
             trail = larfb(A[off:, off + nb:], V, T, transpose=True,
-                          precision=config.precision)
+                          precision=config.precision).astype(A.dtype)
             A = jnp.concatenate(
                 [A[:, :off + nb],
                  jnp.concatenate([A[:off, off + nb:], trail], axis=0)], axis=1)

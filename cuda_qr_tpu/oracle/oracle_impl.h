@@ -47,7 +47,11 @@ int FN(mmqr_)(SCALAR* A, SCALAR* tau, int m, int n, int pr_h, int pc_w) {
   SCALAR* Y = malloc((size_t)pr_h * pc_w * sizeof(SCALAR));
   SCALAR* yv = malloc((size_t)pc_w * sizeof(SCALAR));
   SCALAR* ptau = malloc((size_t)pc_w * sizeof(SCALAR));
-  if (!panel || !W || !Y || !yv || !ptau) { return -2; }
+  if (!panel || !W || !Y || !yv || !ptau) {
+    /* free whatever did allocate: the ctypes caller's process stays alive */
+    free(panel); free(W); free(Y); free(yv); free(ptau);
+    return -2;
+  }
 
   int pci = 0;
   for (int pcol = 0; pcol < n; pcol += pc_w, pci++) {

@@ -52,6 +52,11 @@ def tsqr_dist(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
     nper = mesh.shape[ROW_AXIS]
     if m % nper:
         raise ValueError(f"m={m} must divide the mesh ({nper} shards)")
+    if strategy == "butterfly" and (nper & (nper - 1)) != 0:
+        # s ^ step would address partners >= P: silently wrong factorization.
+        raise ValueError(
+            f"butterfly strategy needs a power-of-two shard count, got {nper};"
+            " use strategy='allgather'")
 
     def shard_fn(a):
         # 1. local (in-chip) TSQR of this shard's rows

@@ -109,6 +109,52 @@ def test_qr_batched(rng):
         np.testing.assert_allclose(np.asarray(Q[i] @ R[i]), A[i], atol=1e-11)
 
 
+def test_qr_batched_complete(rng):
+    """Batched input must honor mode='complete' (square Q per element)."""
+    from cuda_qr_tpu.models.qr import qr
+    A = rng.standard_normal((2, 40, 24))
+    Q, R = qr(A, CFG64, mode="complete")
+    assert Q.shape == (2, 40, 40) and R.shape == (2, 40, 24)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(Q[i] @ R[i]), A[i], atol=1e-11)
+        np.testing.assert_allclose(np.asarray(Q[i].T @ Q[i]), np.eye(40),
+                                   atol=1e-12)
+    Rr = qr(A, CFG64, mode="r")
+    assert Rr.shape == (2, 24, 24)
+    np.testing.assert_allclose(np.asarray(Rr), np.asarray(R[:, :24]),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["geqr2", "geqrt", "cholqr2_hr"])
+@pytest.mark.parametrize("driver", ["scan", "unrolled"])
+def test_bfloat16_all_panel_methods(rng, method, driver):
+    """bf16 input works with every panel method / driver combination
+    (the scan driver used to crash on float32-vs-bf16 tau/T dtypes)."""
+    m, n = 64, 32
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    cfg = QRConfig(panel_width=16, dtype=jnp.bfloat16, panel_method=method,
+                   driver=driver, use_pallas=(method != "geqr2"))
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    assert fac.packed.dtype == jnp.bfloat16
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    # bf16 has ~8 mantissa bits; eps(bf16) = 2^-8
+    assert chk.residual < 4 * n * 2 ** -8, (method, driver, chk)
+
+
+def test_fp64_geqrt_scan_fallback(rng):
+    """fp64 + panel_method='geqrt' + scan driver must take the jnp fallback
+    (the Pallas kernel does not compute fp64) and stay fp64 throughout."""
+    m, n = 64, 32
+    A = rng.standard_normal((m, n))
+    cfg = QRConfig(panel_width=16, dtype=jnp.float64, panel_method="geqrt")
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    assert fac.packed.dtype == jnp.float64
+    chk = check_qr(A, orgqr(fac, m, n, cfg), extract_r(fac, n))
+    assert chk.residual < n * chk.eps, chk
+
+
 def test_qr_grad_matches_xla(rng):
     """qr is differentiable (custom VJP) and matches jnp.linalg.qr grads."""
     import jax

@@ -46,6 +46,16 @@ def test_tsqr_dist_matches_single_chip_residual(rng, mesh, strategy):
                                np.asarray(R2) * d2[:, None], atol=1e-11)
 
 
+def test_tsqr_dist_butterfly_rejects_non_pow2(rng):
+    """Butterfly partner indexing (s ^ step) is only valid for 2^k shards;
+    other counts must raise instead of silently mis-factoring."""
+    mesh6 = row_mesh(6)
+    A = rng.standard_normal((96, 8))
+    Ad = jax.device_put(jnp.asarray(A), row_sharding(mesh6))
+    with pytest.raises(ValueError, match="power-of-two"):
+        tsqr_dist(Ad, mesh6, CFG, strategy="butterfly")
+
+
 def test_tsqr_dist_sharding_preserved(rng, mesh):
     """Q comes back sharded over rows; R replicated."""
     A = rng.standard_normal((512, 16))
