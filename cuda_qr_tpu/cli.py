@@ -180,6 +180,9 @@ def cmd_oracle(args):
 
 
 def main(argv=None):
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # amortize XLA compiles across CLI invocations
+
     p = argparse.ArgumentParser(prog="cuda_qr_tpu", description=__doc__)
     p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default="f32")
     p.add_argument("--trials", type=int, default=3)  # qr.cu:25
