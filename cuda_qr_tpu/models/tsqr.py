@@ -99,6 +99,50 @@ def _pad_rows(A: jnp.ndarray, rows: int) -> jnp.ndarray:
     return A if m == rows else jnp.pad(A, ((0, rows - m), (0, 0)))
 
 
+def _cholqr2_direct(A: jnp.ndarray, config: QRConfig):
+    """Whole-matrix CholeskyQR2 in exactly two passes over A.
+
+    The HBM-optimal tall-skinny QR: the tree is pure overhead when one Gram
+    matrix suffices.  Round 1's Gram G = A^T A is the first read; round 2's
+    Gram is computed FROM G (G2 = L1i G L1i^T -- n x n work, no second
+    full-height pass), and both triangular solves fuse into one GEMM
+    Q = A (L1i^T L2i^T), the second read + only write.  1M x 128 fp32 moves
+    1.5 GB total, vs ~6+ passes for the leaf/tree pipeline.
+
+    Round 2 uses the Taylor expansion chol(I+E) ~ I + tril(E,-1) + diag(E)/2
+    when ||E||_max is tiny (the common case), so the whole factorization has
+    ONE sequential Cholesky chain.  Returns (Q, R, bad): ``bad`` is True when
+    Cholesky broke down (cond(A)^2 * eps >~ 1) and the caller must fall back
+    to the unconditionally-stable Householder tree.
+    """
+    from ..ops.smalllinalg import cholesky_with_inv
+
+    m, n = A.shape
+    prec = config.precision
+    dtype = A.dtype
+    G = jnp.einsum("ri,rj->ij", A, A, precision=prec)          # pass 1
+    L1, L1i = cholesky_with_inv(G, prec)
+    G2 = jnp.einsum("ij,jk,lk->il", L1i, G, L1i, precision=prec)
+    E = G2 - jnp.eye(n, dtype=dtype)
+    emax = jnp.max(jnp.abs(E))
+    tol = 3e-4 if dtype == jnp.float32 else 3e-8
+
+    def taylor(E):
+        C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
+        eye = jnp.eye(n, dtype=dtype)
+        return eye + C, eye - C
+
+    L2, L2i = jax.lax.cond(
+        emax < tol, taylor,
+        lambda E: cholesky_with_inv(E + jnp.eye(n, dtype=dtype), prec), E)
+    Rinv = jnp.einsum("ji,kj->ik", L1i, L2i, precision=prec)   # L1i^T L2i^T
+    Q = jnp.einsum("rj,jk->rk", A, Rinv, precision=prec)       # pass 2
+    R = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)        # L2^T L1^T
+    R = jnp.triu(R)  # exact zeros below the diagonal (products are upper)
+    bad = ~jnp.isfinite(jnp.sum(Rinv))
+    return Q, R, bad
+
+
 @partial(jax.jit, static_argnames=("config",))
 def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
     """Thin QR of a tall-skinny A (m x n, n <= config.panel_width) via a
@@ -121,6 +165,25 @@ def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
                   precision=prec)
         return Q, unpack_r(packed)[:n]
 
+    if config.tsqr_leaf == "cholqr2":
+        # Direct two-pass CholeskyQR2 -- no tree at all.  The tree only adds
+        # HBM passes once a single n x n Gram fits trivially on chip; keep it
+        # solely as the lax.cond fallback for cond(A) >~ 1/sqrt(eps), where
+        # Cholesky breaks down and Householder leaves are required.
+        Q, R, bad = _cholqr2_direct(A, config)
+        tree_cfg = config.replace(tsqr_leaf="householder")
+        return jax.lax.cond(
+            bad, lambda a: _tsqr_tree(a, tree_cfg),
+            lambda a: (Q, R), A)
+
+    return _tsqr_tree(A, config)
+
+
+def _tsqr_tree(A: jnp.ndarray, config: QRConfig):
+    """Binary-reduction-tree TSQR (leaves per config.tsqr_leaf)."""
+    m, n = A.shape
+    prec = config.precision
+    b = max(config.block_rows, 2 * n)
     L = ceildiv(m, b)
     A = _pad_rows(A, L * b)
     blocks = A.reshape(L, b, n)
@@ -176,6 +239,13 @@ def _tsqr_r_impl(A, config):
     if m <= b:
         packed, _ = geqr2(A, precision=prec)
         return None, unpack_r(packed)[:n]
+    if config.tsqr_leaf == "cholqr2":
+        # One pass total: the Q GEMM of _cholqr2_direct is dead code here
+        # and XLA eliminates it.
+        _, R, bad = _cholqr2_direct(A, config)
+        tree_cfg = config.replace(tsqr_leaf="householder")
+        return None, jax.lax.cond(
+            bad, lambda a: _tsqr_r_impl(a, tree_cfg)[1], lambda a: R, A)
     L = ceildiv(m, b)
     blocks = _pad_rows(A, L * b).reshape(L, b, n)
     _, R = _leaf_qr(blocks, config)

@@ -75,3 +75,37 @@ def test_tsqr_cholqr2_fallback_rank_deficient(rng):
     assert np.all(np.isfinite(np.asarray(Q)))
     resid = np.linalg.norm(np.float64(Q) @ np.float64(R) - A)
     assert resid < 1e-4 * np.linalg.norm(A)
+
+
+def test_tsqr_cholqr2_direct_matches_tree_quality(rng):
+    """The direct two-pass CholeskyQR2 path (m > block_rows, cholqr2) must
+    hit the same tolerances as the tree, and tsqr_r must agree with it."""
+    from cuda_qr_tpu.models.tsqr import tsqr_r
+    m, n = 4096, 32
+    cfg = QRConfig(block_rows=64, dtype=jnp.float32, use_pallas=False,
+                   tsqr_leaf="cholqr2")
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    Q, R = tsqr(jnp.asarray(A), cfg)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * n * chk.eps, chk
+    assert chk.orthogonality < 8 * n * chk.eps, chk
+    assert chk.r_triangular == 0.0
+    Rr = tsqr_r(jnp.asarray(A), cfg)
+    d1 = np.sign(np.diag(np.asarray(R)))
+    d2 = np.sign(np.diag(np.asarray(Rr)))
+    np.testing.assert_allclose(np.asarray(R) * d1[:, None],
+                               np.asarray(Rr) * d2[:, None], atol=2e-3)
+
+
+def test_tsqr_cholqr2_direct_fallback_ill_conditioned(rng):
+    """cond(A) >> 1/sqrt(eps_f32): the direct path's Cholesky breaks down and
+    the lax.cond fallback must deliver the Householder tree's accuracy."""
+    n = 16
+    U, _ = np.linalg.qr(rng.standard_normal((2048, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((U * np.logspace(0, -7.5, n)) @ V.T).astype(np.float32)
+    cfg = QRConfig(block_rows=64, dtype=jnp.float32, use_pallas=False,
+                   tsqr_leaf="cholqr2")
+    Q, R = tsqr(jnp.asarray(A), cfg)
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.orthogonality < 8 * n * chk.eps, chk
