@@ -27,7 +27,7 @@ def _pad_for_mesh(A: jnp.ndarray, mesh: Mesh, nb: int):
 
 
 def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
-         layout: str = "block"):
+         layout: str = "block", combine: str = "bk"):
     """Thin distributed QR: returns (Q (m x n) row-sharded, R (n x n)
     replicated).  Arbitrary m >= n; pads internally to the mesh grid.
 
@@ -36,7 +36,11 @@ def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
     stays busy until the last P panels instead of going idle once the
     diagonal passes its contiguous block.  Rows are permuted into / out of
     the cyclic storage order here; production callers that already hold
-    cyclic data should use parallel.caqr.caqr_factor directly."""
+    cyclic data should use parallel.caqr.caqr_factor directly.
+
+    combine="bk" (default) applies each panel's tree Q in basis-kernel form
+    (O(nb * trailing) psum words per panel); "allgather" is the one-round
+    redundant stacked-QR combine (O(P * nb * trailing) words)."""
     m, n = A.shape
     if m < n:
         from ..utils.errors import QRShapeError
@@ -49,18 +53,18 @@ def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
         perm, inv = cyclic_permutation(Ap.shape[0], nb, P_)
         Ap = Ap[jnp.asarray(perm)]
     Ap = jax.device_put(Ap, row_sharding(mesh))
-    factors, R = caqr_factor(Ap, mesh, config, layout=layout)
+    factors, R = caqr_factor(Ap, mesh, config, layout=layout, combine=combine)
     Q = caqr_orgqr(factors, mesh, Ap.shape[1], config, layout=layout)
     if layout == "cyclic":
         Q = Q[jnp.asarray(inv)]
     return Q[:m, :n], R[:n, :n]
 
 
-def caqr_r(A: jnp.ndarray, mesh: Mesh,
-           config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
+def caqr_r(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
+           combine: str = "bk") -> jnp.ndarray:
     """R-only distributed factorization."""
     m, n = A.shape
     Ap = _pad_for_mesh(jnp.asarray(A), mesh, config.panel_width)
     Ap = jax.device_put(Ap, row_sharding(mesh))
-    _, R = caqr_factor(Ap, mesh, config)
+    _, R = caqr_factor(Ap, mesh, config, combine=combine)
     return R[:n, :n]

@@ -139,7 +139,15 @@ def _cholqr2_direct(A: jnp.ndarray, config: QRConfig):
     Q = jnp.einsum("rj,jk->rk", A, Rinv, precision=prec)       # pass 2
     R = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)        # L2^T L1^T
     R = jnp.triu(R)  # exact zeros below the diagonal (products are upper)
-    bad = ~jnp.isfinite(jnp.sum(Rinv))
+    # Fall back on breakdown, large round-1 defect, or a cond(A) proxy (the
+    # diag(R) ratio) near the CholeskyQR2 validity edge cond^2 * eps < ~1:
+    # G2 reuses G, so it cannot see the Gram-formation error eps * cond^2 --
+    # the proxy guards what emax cannot.
+    d = jnp.abs(jnp.diagonal(L1))
+    cond_proxy = jnp.max(d) / jnp.maximum(jnp.min(d), 1e-30)
+    eps = jnp.finfo(dtype).eps
+    bad = (~jnp.isfinite(jnp.sum(Rinv)) | (emax > 0.3)
+           | (cond_proxy * cond_proxy * eps > 0.05))
     return Q, R, bad
 
 

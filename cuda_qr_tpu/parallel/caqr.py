@@ -58,6 +58,31 @@ class CAQRFactors(NamedTuple):
     tree_Ts: jnp.ndarray
 
 
+class CAQRFactorsBK(NamedTuple):
+    """Two-level CAQR factors with the tree Q in basis-kernel form.
+
+    The per-panel tree transform is G = I - Y N Y^T (orthogonal, Yamamoto's
+    basis-kernel representation) with Y_i = M_i S - delta_{i,owner} I held
+    shard-locally -- applying G(^T) costs one psum(nb x w) instead of
+    gathering P*nb x w strips.
+
+    local_packed: (m, n)         row-sharded leaf V/R
+    local_taus:   (P, k, nb)
+    local_Ts:     (P, k, nb, nb)
+    Ys:           (P, k, nb, nb) Y_i = M_i S - delta_{i,owner} I per shard
+                                 (M = orthonormal map stacked_R = M R_final),
+                                 leading axis sharded
+    signs:        (k, nb)        per-panel Yamamoto sign vector S (replicated)
+    Ns:           (k, nb, nb)    per-panel kernel N = (I - (M_J S)^T)^{-1}
+    """
+    local_packed: jnp.ndarray
+    local_taus: jnp.ndarray
+    local_Ts: jnp.ndarray
+    Ys: jnp.ndarray
+    signs: jnp.ndarray
+    Ns: jnp.ndarray
+
+
 def _unpack_v_dyn(packed, off):
     m, n = packed.shape
     r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
@@ -115,15 +140,99 @@ def cyclic_permutation(m: int, nb: int, P_: int):
     return perm, inv
 
 
-@partial(jax.jit, static_argnames=("mesh", "config", "layout"))
+def _bk_combine(Rl, i, owner, P_, prec, dtype):
+    """Basis-kernel tree combine of the per-shard leaf R blocks.
+
+    Returns (Y_i, N, s, Rfin): the shard-local basis-kernel column block
+    Y_i = M_i S - delta_{i,owner} I, the replicated nb x nb kernel
+    N = (I - (M_J S)^T)^{-1}, the Yamamoto sign vector s, and the combined
+    panel R.  M (stacked over shards) is the orthonormal map
+    stacked_R = M Rfin, computed by CholeskyQR2 on the psum'd Gram of the
+    R blocks (two nb x nb collectives); the tree transform is then the
+    orthogonal G = I - Y N Y^T with G E_owner S = M (Yamamoto's basis-kernel
+    form), so applying it to trailing strips needs ONE psum(nb x w) -- no
+    P*nb x w gather and no P-fold redundant stacked QR.  Cholesky breakdown
+    (cond^2(panel) * eps >~ 1) falls back to an explicit stacked Householder
+    QR for M under lax.cond (the predicate is shard-uniform: it derives
+    from the psum'd Gram).
+    """
+    from ..ops.smalllinalg import cholesky_with_inv, lu_with_inv
+
+    nb = Rl.shape[0]
+    eye = jnp.eye(nb, dtype=dtype)
+
+    G_R = jax.lax.psum(
+        jnp.einsum("ij,ik->jk", Rl, Rl, precision=prec), ROW_AXIS)
+    L1, L1i = cholesky_with_inv(G_R, prec)
+    M0 = jnp.einsum("ij,kj->ik", Rl, L1i, precision=prec)     # Rl L1^-T
+    # Round 2 on the TRUE Gram of M0 (one more nb x nb psum): this captures
+    # the Gram-formation error of round 1, which L1i G_R L1i^T would miss --
+    # without it the tree Q's orthogonality defect is ~eps * cond(panel)^2.
+    G2 = jax.lax.psum(
+        jnp.einsum("ij,ik->jk", M0, M0, precision=prec), ROW_AXIS)
+    E = G2 - eye
+    emax = jnp.max(jnp.abs(E))
+    tol = 3e-4 if dtype == jnp.float32 else 3e-8
+
+    def taylor(E):
+        C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
+        return eye + C, eye - C
+
+    L2, L2i = jax.lax.cond(
+        emax < tol, taylor,
+        lambda E: cholesky_with_inv(E + eye, prec), E)
+    # Breakdown OR round-1 orthogonality error too large for round 2 to
+    # square away (CholeskyQR2 needs ||M0^T M0 - I|| < ~1/2): fall back.
+    bad = (~jnp.isfinite(jnp.sum(L2i) + jnp.sum(M0))) | (emax > 0.3)
+
+    def chol_branch(Rl):
+        return (jnp.einsum("ij,kj->ik", M0, L2i, precision=prec),
+                jnp.einsum("ji,kj->ik", L2, L1, precision=prec))
+
+    def hh_branch(Rl):
+        # Unconditionally stable: explicit Q of the gathered R stack.
+        # (Collective inside cond is safe: `bad` is identical on all shards.)
+        stacked = jax.lax.all_gather(Rl, ROW_AXIS).reshape(P_ * nb, nb)
+        tp, ttau = geqr2(stacked, precision=prec)
+        V2 = unpack_v(tp)
+        T2 = larft(V2, ttau, precision=prec)
+        M_stack = larfb(jnp.eye(P_ * nb, nb, dtype=dtype), V2, T2,
+                        transpose=False, precision=prec)
+        M_i = jax.lax.dynamic_slice_in_dim(
+            M_stack, i.astype(jnp.int32) * nb, nb, 0)
+        return M_i, jnp.triu(tp[:nb])
+
+    M_i, Rfin = jax.lax.cond(bad, hh_branch, chol_branch, Rl)
+
+    # Yamamoto kernel from the owner's M block (gathered: all shards need it)
+    Mg = jax.lax.all_gather(M_i, ROW_AXIS)                 # (P, nb, nb)
+    MJ = Mg[owner]
+    s = jnp.where(jnp.diagonal(MJ) >= 0, -1, 1).astype(dtype)
+    BJ = MJ * s[None, :]
+    L, U, Li, Ui = lu_with_inv(eye - BJ.T, prec)
+    N = jnp.einsum("ij,jk->ik", Ui, Li, precision=prec)    # (I - BJ^T)^{-1}
+    is_owner = (i == owner)
+    Y_i = M_i * s[None, :] - jnp.where(is_owner, 1.0, 0.0).astype(dtype) * eye
+    return Y_i, N, s, Rfin
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "layout", "combine"))
 def caqr_factor(A: jnp.ndarray, mesh: Mesh,
-                config: QRConfig = DEFAULT_CONFIG, layout: str = "block"):
-    """Factor row-sharded A (m x n, m >= n).  Returns (CAQRFactors, R).
+                config: QRConfig = DEFAULT_CONFIG, layout: str = "block",
+                combine: str = "bk"):
+    """Factor row-sharded A (m x n, m >= n).  Returns (factors, R).
 
     m must divide the mesh with per-shard rows a multiple of nb and
     n % nb == 0 (use cuda_qr_tpu.models.caqr.caqr for the padding wrapper).
     For layout="cyclic", A must already be stored in cyclic row order
     (cyclic_permutation); the models.caqr wrapper handles that.
+
+    combine="bk" (default) reduces each panel's R blocks with two nb x nb
+    psums + CholeskyQR2 and applies the tree Q in basis-kernel form (one
+    psum(nb x w) per panel, O(nb^2 w) local flops) -> CAQRFactorsBK.
+    combine="allgather" gathers all P R blocks and strips and factors the
+    P*nb stack redundantly on every shard (one round, O(P nb w) words,
+    O(P nb^2 w) flops) -> CAQRFactors.
     """
     m, n = A.shape
     nb = config.panel_width
@@ -133,14 +242,17 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"caqr_factor needs m%P==0, (m/P)%nb==0, n%nb==0, "
                            f"n<=m; got m={m} n={n} P={P_} nb={nb}")
+    if combine not in ("bk", "allgather"):
+        raise ValueError(f"unknown combine {combine!r}")
     k = n // nb
     prec = config.precision
     A = A.astype(config.dtype)
+    dtype = A.dtype
     owner_of, offset_of = _layout_fns(layout, nb, mloc, P_)
 
     def shard_fn(a):
         i = jax.lax.axis_index(ROW_AXIS)
-        taus, Ts, tpacked, tTs = [], [], [], []
+        taus, Ts, tree = [], [], []
         for kk in range(k):
             pcol = kk * nb
             owner = owner_of(kk)
@@ -162,44 +274,84 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
                     larfb(a[:, pcol + nb:], V, T, transpose=True,
                           precision=prec))
 
-            # 3. gather per-shard R blocks, owner first, stacked QR
+            # 3. combine the per-shard R blocks across the mesh
             sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
             Rl = jnp.triu(jax.lax.dynamic_slice(lp, (sl, jnp.int32(0)), (nb, nb)))
             Rl = jnp.where(dead, 0, Rl)
-            gathered = jax.lax.all_gather(Rl, ROW_AXIS)        # (P, nb, nb)
-            stacked = _roll_to_owner(gathered, owner, P_)      # (P*nb, nb)
-            tp, ttau = geqr2(stacked, precision=prec)
-            V2 = unpack_v(tp)
-            T2 = larft(V2, ttau, precision=prec)
 
-            # 4. stacked update of the trailing nb-row strips
-            if w:
-                strip = jax.lax.dynamic_slice(a, (sl, jnp.int32(pcol + nb)), (nb, w))
-                strip = jnp.where(dead, 0, strip)
-                gstrip = jax.lax.all_gather(strip, ROW_AXIS)   # (P, nb, w)
-                stackW = _roll_to_owner(gstrip, owner, P_)     # (P*nb, w)
-                stackW = larfb(stackW, V2, T2, transpose=True, precision=prec)
-                slot = jnp.mod(i - owner, P_)
-                mine = jax.lax.dynamic_slice_in_dim(stackW, slot * nb, nb, 0)
-                upd = jax.lax.dynamic_update_slice(a, mine, (sl, jnp.int32(pcol + nb)))
-                a = jnp.where(dead, a, upd)
+            if combine == "bk":
+                Y_i, N, s, Rfin = _bk_combine(Rl, i, owner, P_, prec, dtype)
+                # 4. trailing strips: X' = G^T X = X - Y N^T psum(Y_i^T X_i)
+                if w:
+                    strip = jax.lax.dynamic_slice(
+                        a, (sl, jnp.int32(pcol + nb)), (nb, w))
+                    strip = jnp.where(dead, 0, strip)
+                    C = jax.lax.psum(
+                        jnp.einsum("ij,ik->jk", Y_i, strip, precision=prec),
+                        ROW_AXIS)
+                    Z = jnp.einsum("ji,jk->ik", N, C, precision=prec)  # N^T C
+                    newstrip = strip - jnp.einsum(
+                        "ij,jk->ik", Y_i, Z, precision=prec)
+                    upd = jax.lax.dynamic_update_slice(
+                        a, newstrip, (sl, jnp.int32(pcol + nb)))
+                    a = jnp.where(dead, a, upd)
+                tree.append((Y_i, N, s, Rfin))
+            else:
+                # gather all R blocks, owner first, stacked QR (redundant)
+                gathered = jax.lax.all_gather(Rl, ROW_AXIS)    # (P, nb, nb)
+                stacked = _roll_to_owner(gathered, owner, P_)  # (P*nb, nb)
+                tp, ttau = geqr2(stacked, precision=prec)
+                V2 = unpack_v(tp)
+                T2 = larft(V2, ttau, precision=prec)
+
+                # 4. stacked update of the trailing nb-row strips
+                if w:
+                    strip = jax.lax.dynamic_slice(
+                        a, (sl, jnp.int32(pcol + nb)), (nb, w))
+                    strip = jnp.where(dead, 0, strip)
+                    gstrip = jax.lax.all_gather(strip, ROW_AXIS)  # (P, nb, w)
+                    stackW = _roll_to_owner(gstrip, owner, P_)    # (P*nb, w)
+                    stackW = larfb(stackW, V2, T2, transpose=True,
+                                   precision=prec)
+                    slot = jnp.mod(i - owner, P_)
+                    mine = jax.lax.dynamic_slice_in_dim(stackW, slot * nb, nb, 0)
+                    upd = jax.lax.dynamic_update_slice(
+                        a, mine, (sl, jnp.int32(pcol + nb)))
+                    a = jnp.where(dead, a, upd)
+                tree.append((tp, T2))
 
             taus.append(ltau)
             Ts.append(T)
-            tpacked.append(tp)
-            tTs.append(T2)
-        return (a, jnp.stack(taus)[None], jnp.stack(Ts)[None],
-                jnp.stack(tpacked), jnp.stack(tTs))
 
-    a, ltaus, lTs, tpacked, tTs = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=P(ROW_AXIS, None),
-        out_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS), P(), P()),
-        check_vma=False,
-    )(A)
+        if combine == "bk":
+            Ys = jnp.stack([t[0] for t in tree])
+            Ns = jnp.stack([t[1] for t in tree])
+            ss = jnp.stack([t[2] for t in tree])
+            Rfins = jnp.stack([t[3] for t in tree])
+            return (a, jnp.stack(taus)[None], jnp.stack(Ts)[None],
+                    Ys[None], Ns, ss, Rfins)
+        return (a, jnp.stack(taus)[None], jnp.stack(Ts)[None],
+                jnp.stack([t[0] for t in tree]),
+                jnp.stack([t[1] for t in tree]))
+
+    if combine == "bk":
+        a, ltaus, lTs, Ys, Ns, ss, Rfins = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=P(ROW_AXIS, None),
+            out_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS),
+                       P(ROW_AXIS), P(), P(), P()),
+            check_vma=False,
+        )(A)
+    else:
+        a, ltaus, lTs, tpacked, tTs = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=P(ROW_AXIS, None),
+            out_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS), P(), P()),
+            check_vma=False,
+        )(A)
 
     # Final R: finished rows live in the logical top n rows except each
-    # panel's diagonal block, which is the stacked QR's top triangle.
+    # panel's diagonal block, which is the combined panel triangle.
     if layout == "cyclic":
         # logical row l lives at storage row inv[l]
         _, inv = cyclic_permutation(m, nb, P_)
@@ -208,30 +360,41 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
         R = jnp.triu(a[:n])
     for kk in range(k):
         pcol = kk * nb
-        R = R.at[pcol:pcol + nb, pcol:pcol + nb].set(
-            jnp.triu(tpacked[kk, :nb]))
-    factors = CAQRFactors(local_packed=a, local_taus=ltaus, local_Ts=lTs,
-                          tree_packed=tpacked, tree_Ts=tTs)
+        if combine == "bk":
+            # rows of the final R block carry the Yamamoto sign flip, exactly
+            # like the owner's physical strip rows do
+            blk = jnp.triu(ss[kk][:, None] * Rfins[kk])
+        else:
+            blk = jnp.triu(tpacked[kk, :nb])
+        R = R.at[pcol:pcol + nb, pcol:pcol + nb].set(blk)
+    if combine == "bk":
+        factors = CAQRFactorsBK(local_packed=a, local_taus=ltaus,
+                                local_Ts=lTs, Ys=Ys, signs=ss, Ns=Ns)
+    else:
+        factors = CAQRFactors(local_packed=a, local_taus=ltaus, local_Ts=lTs,
+                              tree_packed=tpacked, tree_Ts=tTs)
     return factors, R
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "n_cols", "layout"))
-def caqr_orgqr(factors: CAQRFactors, mesh: Mesh, n_cols: int,
+def caqr_orgqr(factors, mesh: Mesh, n_cols: int,
                config: QRConfig = DEFAULT_CONFIG,
                layout: str = "block") -> jnp.ndarray:
     """Explicit thin Q (m x n_cols) from two-level CAQR factors,
     row-sharded (in the given layout's storage order).  Applies the
-    per-panel operators in reverse: Q <- H_leaf,k (H_tree,k Q)."""
+    per-panel operators in reverse: Q <- H_leaf,k (H_tree,k Q).
+    Dispatches on the factors type (CAQRFactors / CAQRFactorsBK)."""
     m, n = factors.local_packed.shape
     nb = config.panel_width
     P_ = mesh.shape[ROW_AXIS]
     mloc = m // P_
     k = n // nb
     prec = config.precision
+    bk = isinstance(factors, CAQRFactorsBK)
 
     owner_of, offset_of = _layout_fns(layout, nb, mloc, P_)
 
-    def shard_fn(ap, ltaus, lTs, tpacked, tTs):
+    def shard_fn(ap, ltaus, lTs, *tree):
         i = jax.lax.axis_index(ROW_AXIS)
         # my rows of I(m, n_cols), in LOGICAL row indices (for "cyclic" the
         # storage row r of shard i is logical ((r//nb)*P + i)*nb + r%nb)
@@ -249,16 +412,27 @@ def caqr_orgqr(factors: CAQRFactors, mesh: Mesh, n_cols: int,
             dead = off >= mloc
             sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
 
-            # tree level (non-transposed)
-            V2 = unpack_v(tpacked[kk])
             strip = jax.lax.dynamic_slice(q, (sl, jnp.int32(0)), (nb, n_cols))
             strip = jnp.where(dead, 0, strip)
-            gstrip = jax.lax.all_gather(strip, ROW_AXIS)
-            stackQ = _roll_to_owner(gstrip, owner, P_)
-            stackQ = larfb(stackQ, V2, tTs[kk], transpose=False,
-                           precision=prec)
-            slot = jnp.mod(i - owner, P_)
-            mine = jax.lax.dynamic_slice_in_dim(stackQ, slot * nb, nb, 0)
+            if bk:
+                # tree level: q' = G q = q - Y N psum(Y_i^T q_i)
+                Ys, Ns = tree
+                Y_i = Ys[0, kk]
+                C = jax.lax.psum(
+                    jnp.einsum("ij,ik->jk", Y_i, strip, precision=prec),
+                    ROW_AXIS)
+                Z = jnp.einsum("ij,jk->ik", Ns[kk], C, precision=prec)
+                mine = strip - jnp.einsum("ij,jk->ik", Y_i, Z, precision=prec)
+            else:
+                # tree level (non-transposed), gathered stacked reflector
+                tpacked, tTs = tree
+                V2 = unpack_v(tpacked[kk])
+                gstrip = jax.lax.all_gather(strip, ROW_AXIS)
+                stackQ = _roll_to_owner(gstrip, owner, P_)
+                stackQ = larfb(stackQ, V2, tTs[kk], transpose=False,
+                               precision=prec)
+                slot = jnp.mod(i - owner, P_)
+                mine = jax.lax.dynamic_slice_in_dim(stackQ, slot * nb, nb, 0)
             upd = jax.lax.dynamic_update_slice(q, mine, (sl, jnp.int32(0)))
             q = jnp.where(dead, q, upd)
 
@@ -267,6 +441,15 @@ def caqr_orgqr(factors: CAQRFactors, mesh: Mesh, n_cols: int,
             q = larfb(q, V, lTs[0, kk], transpose=False, precision=prec)
         return q
 
+    if bk:
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS),
+                      P(ROW_AXIS), P()),
+            out_specs=P(ROW_AXIS, None),
+            check_vma=False,
+        )(factors.local_packed, factors.local_taus, factors.local_Ts,
+          factors.Ys, factors.Ns)
     return shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS), P(), P()),

@@ -40,12 +40,54 @@ def _small_qr_q(stacked: jnp.ndarray, prec):
     return Q, unpack_r(packed)[:n]
 
 
+def _cholesky_combine(R_l, prec, dtype):
+    """(mine, R, bad): CholeskyQR2 of the psum'd Gram of the local R factors.
+
+    Two n x n psums total; each shard's n x n map `mine` satisfies
+    R_l = mine @ R with stacked `mine` orthonormal -- the same math as the
+    basis-kernel CAQR combine (parallel/caqr.py), without needing the full
+    tree transform since TSQR has no trailing matrix.
+    """
+    from ..ops.smalllinalg import cholesky_with_inv
+
+    n = R_l.shape[1]
+    eye = jnp.eye(n, dtype=dtype)
+    G = jax.lax.psum(
+        jnp.einsum("ij,ik->jk", R_l, R_l, precision=prec), ROW_AXIS)
+    L1, L1i = cholesky_with_inv(G, prec)
+    M0 = jnp.einsum("ij,kj->ik", R_l, L1i, precision=prec)
+    G2 = jax.lax.psum(
+        jnp.einsum("ij,ik->jk", M0, M0, precision=prec), ROW_AXIS)
+    E = G2 - eye
+    emax = jnp.max(jnp.abs(E))
+    tol = 3e-4 if dtype == jnp.float32 else 3e-8
+
+    def taylor(E):
+        C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
+        return eye + C, eye - C
+
+    L2, L2i = jax.lax.cond(
+        emax < tol, taylor,
+        lambda E: cholesky_with_inv(E + eye, prec), E)
+    mine = jnp.einsum("ij,kj->ik", M0, L2i, precision=prec)
+    R = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)
+    bad = (~jnp.isfinite(jnp.sum(mine))) | (emax > 0.3)
+    return mine, jnp.triu(R), bad
+
+
 @partial(jax.jit, static_argnames=("mesh", "config", "strategy"))
 def tsqr_dist(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
               strategy: str = "allgather"):
     """Thin QR of row-sharded tall-skinny A.  Returns (Q row-sharded like A,
-    R replicated)."""
-    if strategy not in ("allgather", "butterfly"):
+    R replicated).
+
+    Strategies (combine words per shard, n x n triangles over ICI):
+      "cholesky":  2 psums (~4 n^2) -- CholeskyQR2 on the psum'd Gram with a
+                   lax.cond fallback to "allgather" on breakdown.  Fastest.
+      "allgather": P n^2, one round, unconditionally stable.
+      "butterfly": log2(P) rounds of n^2 (power-of-two P only).
+    """
+    if strategy not in ("allgather", "butterfly", "cholesky"):
         raise ValueError(f"unknown strategy {strategy!r}")
     m, n = A.shape
     prec = config.precision
@@ -61,6 +103,20 @@ def tsqr_dist(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
     def shard_fn(a):
         # 1. local (in-chip) TSQR of this shard's rows
         Q_l, R_l = tsqr_local(a, config)
+        if strategy == "cholesky":
+            mine, R, bad = _cholesky_combine(R_l, prec, a.dtype)
+
+            def fallback(R_l):
+                # stacked Householder QR (as "allgather"), shard-uniform bad
+                Rs = jax.lax.all_gather(R_l, ROW_AXIS)
+                Qhat, Rg = _small_qr_q(Rs.reshape(nper * n, n), prec)
+                i = jax.lax.axis_index(ROW_AXIS)
+                return jax.lax.dynamic_slice_in_dim(Qhat, i * n, n, 0), Rg
+
+            mine, R = jax.lax.cond(
+                bad, fallback, lambda _: (mine, R), R_l)
+            Q = jnp.einsum("ij,jk->ik", Q_l, mine, precision=prec)
+            return Q, R
         if strategy == "allgather":
             # 2. every chip gathers all R factors and factors the stack
             Rs = jax.lax.all_gather(R_l, ROW_AXIS)          # (P, n, n)

@@ -18,19 +18,55 @@ def mesh():
     return row_mesh(8)
 
 
+@pytest.mark.parametrize("combine", ["bk", "allgather"])
 @pytest.mark.parametrize("m,n", [
     (128, 64),    # 2 panel-rows per shard
     (128, 128),   # square: last panels live on the last shard only
     (256, 96),
     (200, 50),    # needs padding
 ])
-def test_caqr(rng, mesh, m, n):
+def test_caqr(rng, mesh, m, n, combine):
     A = rng.standard_normal((m, n))
-    Q, R = caqr(jnp.asarray(A), mesh, CFG)
+    Q, R = caqr(jnp.asarray(A), mesh, CFG, combine=combine)
     chk = check_qr(A, np.asarray(Q), np.asarray(R))
     assert chk.residual < 4 * max(n, 16) * chk.eps, (m, n, chk)
     assert chk.orthogonality < 8 * max(n, 16) * chk.eps, (m, n, chk)
     assert chk.r_triangular == 0.0
+
+
+def test_caqr_bk_matches_allgather_r(rng, mesh):
+    """Both combines factor the same matrix to the same R (up to row signs)."""
+    A = rng.standard_normal((128, 64))
+    _, Rb = caqr(jnp.asarray(A), mesh, CFG, combine="bk")
+    _, Ra = caqr(jnp.asarray(A), mesh, CFG, combine="allgather")
+    db = np.sign(np.diag(np.asarray(Rb)))
+    da = np.sign(np.diag(np.asarray(Ra)))
+    np.testing.assert_allclose(np.asarray(Rb) * db[:, None],
+                               np.asarray(Ra) * da[:, None], atol=1e-11)
+
+
+def test_caqr_bk_ill_conditioned_falls_back(rng, mesh):
+    """cond(A) ~ 1e7 in fp32: the BK combine's CholeskyQR2 must detect the
+    breakdown per panel and fall back to the stacked Householder QR."""
+    n = 32
+    cfg = QRConfig(panel_width=8, dtype=jnp.float32, use_pallas=False)
+    U, _ = np.linalg.qr(rng.standard_normal((128, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((U * np.logspace(0, -7.2, n)) @ V.T).astype(np.float32)
+    Q, R = caqr(jnp.asarray(A), mesh, cfg, combine="bk")
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.residual < 4 * n * chk.eps, chk
+    assert chk.orthogonality < 8 * n * chk.eps, chk
+
+
+def test_caqr_bk_rank_deficient(rng, mesh):
+    cfg = QRConfig(panel_width=8, dtype=jnp.float32, use_pallas=False)
+    A = rng.standard_normal((128, 32)).astype(np.float32)
+    A[:, 3] = A[:, 2]  # exactly dependent columns within a panel
+    Q, R = caqr(jnp.asarray(A), mesh, cfg, combine="bk")
+    assert np.all(np.isfinite(np.asarray(Q)))
+    resid = np.linalg.norm(np.float64(Q) @ np.float64(R) - A)
+    assert resid < 1e-4 * np.linalg.norm(A)
 
 
 def test_caqr_r_matches_single_chip(rng, mesh):

@@ -19,7 +19,7 @@ def mesh():
     return row_mesh(8)
 
 
-@pytest.mark.parametrize("strategy", ["allgather", "butterfly"])
+@pytest.mark.parametrize("strategy", ["allgather", "butterfly", "cholesky"])
 @pytest.mark.parametrize("m,n", [(512, 16), (2048, 32)])
 def test_tsqr_dist(rng, mesh, strategy, m, n):
     A = rng.standard_normal((m, n))
@@ -44,6 +44,20 @@ def test_tsqr_dist_matches_single_chip_residual(rng, mesh, strategy):
     d2 = np.sign(np.diag(np.asarray(R2)))
     np.testing.assert_allclose(np.asarray(R1) * d1[:, None],
                                np.asarray(R2) * d2[:, None], atol=1e-11)
+
+
+def test_tsqr_dist_cholesky_fallback_ill_conditioned(rng, mesh):
+    """cond(A) >> 1/sqrt(eps_f32) must trip the cholesky strategy's guard
+    and fall back to the stacked Householder combine."""
+    n = 16
+    cfg = QRConfig(block_rows=64, dtype=jnp.float32, use_pallas=False)
+    U, _ = np.linalg.qr(rng.standard_normal((1024, n)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((U * np.logspace(0, -7.2, n)) @ V.T).astype(np.float32)
+    Ad = jax.device_put(jnp.asarray(A), row_sharding(mesh))
+    Q, R = tsqr_dist(Ad, mesh, cfg, strategy="cholesky")
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.orthogonality < 8 * n * chk.eps, chk
 
 
 def test_tsqr_dist_butterfly_rejects_non_pow2(rng):
