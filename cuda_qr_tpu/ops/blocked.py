@@ -111,7 +111,7 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
     own top-left corner.  Returns (packed_sub, taus (k, nb), Ts (k, nb, nb))."""
     m_pad, n_pad = A.shape
     nb = config.panel_width
-    prec = config.precision
+    prec = config.resolved_trailing_precision()
     cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
     def body(i, carry):
@@ -200,7 +200,8 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
         if off + nb < n_pad:
             V = unpack_v(panel[off:], 0)
             trail = larfb(A[off:, off + nb:], V, T, transpose=True,
-                          precision=config.precision).astype(A.dtype)
+                          precision=config.resolved_trailing_precision(),
+                          ).astype(A.dtype)
             A = jnp.concatenate(
                 [A[:, :off + nb],
                  jnp.concatenate([A[:off, off + nb:], trail], axis=0)], axis=1)
@@ -220,7 +221,7 @@ def _apply_panels_scan(packed: jnp.ndarray, Ts: jnp.ndarray, B: jnp.ndarray,
     m_pad, n_pad = packed.shape
     nb = config.panel_width
     k = n_pad // nb
-    prec = config.precision
+    prec = config.resolved_orgqr_precision()
     stages = max(1, min(config.scan_stages, k))
     bounds = [round(s * k / stages) for s in range(stages + 1)]
     groups = list(zip(bounds[:-1], bounds[1:]))
@@ -272,7 +273,7 @@ def orgqr(factors: PackedQR, m: int, n: int,
     m_pad, n_pad = packed.shape
     nb = config.panel_width
     k = n_pad // nb
-    prec = config.precision
+    prec = config.resolved_orgqr_precision()
     stages = max(1, min(config.scan_stages, k))
     bounds = [round(s * k / stages) for s in range(stages + 1)]
     Q = jnp.eye(m_pad, n, dtype=packed.dtype)

@@ -111,20 +111,34 @@ def caqr_factor_resumable(A, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
                           every: int = 4):
     """Distributed CAQR with per-panel checkpointing.
 
-    Same result as parallel.caqr.caqr_factor (up to fp reordering).  If
-    ``checkpoint_path`` exists, resumes from it; snapshots every ``every``
-    panels.  A must already be padded/sharded in the layout's storage order
-    (this is the production entry point; tests drive it directly).
+    Same result as parallel.caqr.caqr_factor with combine="allgather" (up to
+    fp reordering).  ``checkpoint_path`` is a DIRECTORY: each finished
+    panel's factors are appended once as ``panel_NNNN.npz`` (never
+    rewritten -- snapshot cost is O(1) per panel, not O(k) -- the factor
+    history at 65536^2/nb=128 is 512 panels), and ``state.npz`` (the evolving
+    matrix + progress meta) is rewritten every ``every`` panels.  A crash
+    mid-write never corrupts a finished snapshot (atomic tmp+rename), and a
+    rerun of the same call resumes from the last state.npz.  A must already
+    be padded/sharded in the layout's storage order (this is the production
+    entry point; tests drive it directly).
     """
+    import os
+
     m, n = A.shape
     nb = config.panel_width
     k = n // nb
     P_ = mesh.shape[ROW_AXIS]
 
+    def panel_file(j):
+        return os.path.join(checkpoint_path, f"panel_{j:04d}.npz")
+
+    def state_file():
+        return os.path.join(checkpoint_path, "state.npz")
+
     start = 0
     ltaus, lTs, tpackeds, tTs = [], [], [], []
     if checkpoint_path:
-        state, meta = load_state(checkpoint_path)
+        state, meta = load_state(state_file())
         if state is not None:
             if meta["m"] != m or meta["n"] != n or meta["nb"] != nb or \
                meta["layout"] != layout or meta["P"] != P_:
@@ -134,10 +148,11 @@ def caqr_factor_resumable(A, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
             start = int(meta["next_panel"])
             A = jax.device_put(jnp.asarray(state["A"]), row_sharding(mesh))
             for kk in range(start):
-                ltaus.append(state[f"ltau{kk}"])
-                lTs.append(state[f"lT{kk}"])
-                tpackeds.append(state[f"tp{kk}"])
-                tTs.append(state[f"tT{kk}"])
+                pstate, _ = load_state(panel_file(kk))
+                ltaus.append(pstate["ltau"])
+                lTs.append(pstate["lT"])
+                tpackeds.append(pstate["tp"])
+                tTs.append(pstate["tT"])
 
     for kk in range(start, k):
         A, ltau, lT, tp, tT = _panel_step(A, kk, mesh, config, layout)
@@ -146,16 +161,15 @@ def caqr_factor_resumable(A, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
         tpackeds.append(np.asarray(tp))
         tTs.append(np.asarray(tT))
         done = kk + 1
-        if checkpoint_path and (done % every == 0 or done == k) and done < k:
-            state = {"A": A}
-            for j in range(done):
-                state[f"ltau{j}"] = ltaus[j]
-                state[f"lT{j}"] = lTs[j]
-                state[f"tp{j}"] = tpackeds[j]
-                state[f"tT{j}"] = tTs[j]
-            save_state(checkpoint_path, state,
-                       {"next_panel": done, "m": m, "n": n, "nb": nb,
-                        "layout": layout, "P": P_})
+        if checkpoint_path and done < k:
+            # incremental: this panel's factors, written exactly once
+            save_state(panel_file(kk),
+                       {"ltau": ltaus[-1], "lT": lTs[-1],
+                        "tp": tpackeds[-1], "tT": tTs[-1]}, {"panel": kk})
+            if done % every == 0:
+                save_state(state_file(), {"A": A},
+                           {"next_panel": done, "m": m, "n": n, "nb": nb,
+                            "layout": layout, "P": P_})
 
     # assemble factors + R exactly like caqr_factor
     tpacked = jnp.stack([jnp.asarray(t) for t in tpackeds])

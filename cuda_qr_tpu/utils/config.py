@@ -54,6 +54,14 @@ class QRConfig:
     block_rows: int = 1024
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # Precision overrides for the two GEMM-dominated phases (None = follow
+    # ``precision``).  Panel factorization always uses ``precision``: V/T
+    # quality bounds Q's orthogonality, while the trailing/orgqr GEMMs only
+    # add one rounding term per panel application.  HIGH (bf16x3) doubles
+    # MXU throughput; measured at 8192^2 fp32 it keeps the residual well
+    # under n*eps (see docs/PERF.md).
+    trailing_precision: Optional[jax.lax.Precision] = None
+    orgqr_precision: Optional[jax.lax.Precision] = None
     use_pallas: bool = True
     interpret: Optional[bool] = None
     max_vmem_panel_rows: int = 16384
@@ -88,6 +96,16 @@ class QRConfig:
         if self.interpret is None:
             return _default_interpret()
         return self.interpret
+
+    def resolved_trailing_precision(self) -> jax.lax.Precision:
+        if self.trailing_precision is None:
+            return self.precision
+        return self.trailing_precision
+
+    def resolved_orgqr_precision(self) -> jax.lax.Precision:
+        if self.orgqr_precision is None:
+            return self.precision
+        return self.orgqr_precision
 
     def replace(self, **kw) -> "QRConfig":
         return dataclasses.replace(self, **kw)

@@ -39,7 +39,7 @@ def test_resumable_matches_monolithic(rng, mesh):
     m, n = 128, 64
     A, Ad = _sharded(rng, mesh, m, n)
     fac_r, R_r = caqr_factor_resumable(Ad, mesh, CFG)
-    fac_m, R_m = caqr_factor(Ad, mesh, CFG)
+    fac_m, R_m = caqr_factor(Ad, mesh, CFG, combine="allgather")
     np.testing.assert_allclose(np.asarray(R_r), np.asarray(R_m), atol=1e-11)
     Q = caqr_orgqr(fac_r, mesh, n, CFG)
     chk = check_qr(A, np.asarray(Q)[:, :n], np.asarray(R_r)[:n, :n])
@@ -50,7 +50,7 @@ def test_crash_and_resume(tmp_path, rng, mesh):
     """Interrupt after a few panels; a fresh call resumes and finishes with
     the same R as an uninterrupted run."""
     m, n = 128, 64
-    ck = str(tmp_path / "caqr.npz")
+    ck = str(tmp_path / "caqr_ck")
     A, Ad = _sharded(rng, mesh, m, n)
 
     calls = {"n": 0}
@@ -70,18 +70,22 @@ def test_crash_and_resume(tmp_path, rng, mesh):
     finally:
         cr._panel_step = orig
 
-    _, meta = load_state(ck)
+    import os
+    _, meta = load_state(os.path.join(ck, "state.npz"))
     assert 0 < meta["next_panel"] < n // 8  # partial progress persisted
+    # snapshots are incremental: one small file per finished panel
+    panels = [f for f in os.listdir(ck) if f.startswith("panel_")]
+    assert len(panels) == calls["n"]
 
     fac, R = caqr_factor_resumable(Ad, mesh, CFG, checkpoint_path=ck, every=2)
-    _, R_ref = caqr_factor(Ad, mesh, CFG)
+    _, R_ref = caqr_factor(Ad, mesh, CFG, combine="allgather")
     np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=1e-11)
 
 
 def test_resume_rejects_mismatched_problem(tmp_path, rng, mesh):
-    ck = str(tmp_path / "caqr.npz")
+    ck = str(tmp_path / "caqr_ck")
     _, Ad = _sharded(rng, mesh, 128, 64)
-    save_state(ck, {"A": np.zeros((1, 1))},
+    save_state(str(tmp_path / "caqr_ck" / "state.npz"), {"A": np.zeros((1, 1))},
                {"next_panel": 1, "m": 999, "n": 64, "nb": 8,
                 "layout": "block", "P": 8})
     with pytest.raises(ValueError, match="does not match"):
