@@ -30,36 +30,75 @@ import jax.numpy as jnp
 
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 from ..utils.geometry import round_up
-from .householder import geqr2, larfb, larft, unpack_r, unpack_v
+from .householder import (geqr2, larfb, larft, merge_wy, panel_v, unit_vj,
+                          unpack_r, unpack_v)
+
+
+def _merge_group(Vs, Ts, prec):
+    """Pair-merge a list of per-panel (V, T) into one wide (V, T).
+
+    len(Vs) must be a power of two; panels are ordered left-to-right (the
+    composed operator is P_0 P_1 ... P_{g-1})."""
+    Vs, Ts = list(Vs), list(Ts)
+    while len(Vs) > 1:
+        nVs, nTs = [], []
+        for a in range(0, len(Vs), 2):
+            nTs.append(merge_wy(Vs[a], Ts[a], Vs[a + 1], Ts[a + 1], prec))
+            nVs.append(jnp.concatenate([Vs[a], Vs[a + 1]], axis=1))
+        Vs, Ts = nVs, nTs
+    return Vs[0], Ts[0]
+
+
+def _group_width(kg: int, aggregate: int) -> int:
+    """Largest power-of-two group size <= aggregate that divides kg."""
+    g = 1
+    while g * 2 <= aggregate and kg % (g * 2) == 0:
+        g *= 2
+    return g
 
 
 class PackedQR(NamedTuple):
-    """Packed blocked-QR factors (a JAX pytree; all leaves are arrays)."""
+    """Packed blocked-QR factors (a JAX pytree; all leaves are arrays).
+
+    VJs holds each panel's nb x nb diagonal V block explicitly: for
+    Householder-style panels it is the redundant unit-lower block (so
+    ``panel_v`` is one uniform gather for every panel method); for
+    basis-kernel panels (panel_method="cholqr2_bk") it is a dense block that
+    cannot be packed under R at all.
+    """
     packed: jnp.ndarray   # (m_pad, n_pad)
     taus: jnp.ndarray     # (k, nb)
     Ts: jnp.ndarray       # (k, nb, nb)
+    VJs: jnp.ndarray      # (k, nb, nb)
 
 
 def _panel_factor(panel: jnp.ndarray, off: int, config: QRConfig):
     """Factor rows >= off of a full-height (m_pad x nb) panel.
 
-    Returns (packed_panel, tau, T) with T the compact-WY factor of the
-    panel's reflectors.  Dispatch per config.panel_method (with the legacy
-    use_pallas=False escape hatch forcing the jnp path).
+    Returns (packed_panel, tau, T, VJ) with T the compact-WY factor of the
+    panel's reflectors and VJ the diagonal V block.  Dispatch per
+    config.panel_method (with the legacy use_pallas=False escape hatch
+    forcing the jnp path).
     """
+    nb = panel.shape[1]
     method = config.panel_method if config.use_pallas else "geqr2"
     if method == "cholqr2_hr":
         from .fast_panel import panel_factor_cholqr2hr
-        return panel_factor_cholqr2hr(panel, off, config)
+        packed, tau, T = panel_factor_cholqr2hr(panel, off, config)
+        return packed, tau, T, unit_vj(packed, off, nb)
+    if method == "cholqr2_bk":
+        from .fast_panel import panel_factor_cholqr2bk
+        return panel_factor_cholqr2bk(panel, off, config)
     if method == "geqrt":
         from .geqrt import geqrt_panel  # local import: optional dependency cycle
-        return geqrt_panel(panel, off, config)
+        packed, tau, T = geqrt_panel(panel, off, config)
+        return packed, tau, T, unit_vj(packed, off, nb)
     lo = panel[off:]
     lo_packed, tau = geqr2(lo, row_offset=0, precision=config.precision)
     V = unpack_v(lo_packed, 0)
     T = larft(V, tau, precision=config.precision)
     packed = jnp.concatenate([panel[:off], lo_packed], axis=0) if off else lo_packed
-    return packed, tau, T
+    return packed, tau, T, unit_vj(packed, off, nb)
 
 
 def _pad(A: jnp.ndarray, nb: int):
@@ -93,17 +132,18 @@ def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
     k = n_pad // nb
     stages = max(1, min(config.scan_stages, k))
     bounds = [round(s * k / stages) for s in range(stages + 1)]
-    taus_all, Ts_all = [], []
+    taus_all, Ts_all, VJs_all = [], [], []
     for ks, ke in zip(bounds[:-1], bounds[1:]):
         if ke == ks:
             continue
         r0 = ks * nb
-        sub, taus_g, Ts_g = _scan_panels(A[r0:, r0:], ke - ks, config)
-        A = A.at[r0:, r0:].set(sub)
-        taus_all.append(taus_g)
-        Ts_all.append(Ts_g)
+        g = _scan_panels(A[r0:, r0:], ke - ks, config)
+        A = A.at[r0:, r0:].set(g.packed)
+        taus_all.append(g.taus)
+        Ts_all.append(g.Ts)
+        VJs_all.append(g.VJs)
     return PackedQR(packed=A, taus=jnp.concatenate(taus_all),
-                    Ts=jnp.concatenate(Ts_all))
+                    Ts=jnp.concatenate(Ts_all), VJs=jnp.concatenate(VJs_all))
 
 
 def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
@@ -115,12 +155,12 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
     cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
 
     def body(i, carry):
-        A, taus, Ts = carry
+        A, taus, Ts, VJs = carry
         i = jnp.asarray(i, jnp.int32)  # fori index is int64 under x64
         off = i * nb
         panel = jax.lax.dynamic_slice(A, (jnp.int32(0), off), (m_pad, nb))
-        packed, tau, T = _panel_factor_dyn(panel, off, config)
-        V = _unpack_v_dyn(packed, off)
+        packed, tau, T, VJ = _panel_factor_dyn(panel, off, config)
+        V = panel_v(packed, off, VJ)
         W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
         W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
         U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
@@ -135,21 +175,29 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
             taus, tau[None].astype(taus.dtype), (i, jnp.int32(0)))
         Ts = jax.lax.dynamic_update_slice(
             Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
-        return A, taus, Ts
+        VJs = jax.lax.dynamic_update_slice(
+            VJs, VJ[None].astype(VJs.dtype), (i, jnp.int32(0), jnp.int32(0)))
+        return A, taus, Ts, VJs
 
     tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
     taus0 = jnp.zeros((k, nb), tdt)
     Ts0 = jnp.zeros((k, nb, nb), tdt)
-    A, taus, Ts = jax.lax.fori_loop(0, k, body, (A, taus0, Ts0))
-    return PackedQR(packed=A, taus=taus, Ts=Ts)
+    VJs0 = jnp.zeros((k, nb, nb), tdt)
+    A, taus, Ts, VJs = jax.lax.fori_loop(0, k, body, (A, taus0, Ts0, VJs0))
+    return PackedQR(packed=A, taus=taus, Ts=Ts, VJs=VJs)
 
 
 def _panel_factor_dyn(panel: jnp.ndarray, off, config: QRConfig):
     """_panel_factor with a traced offset (scan driver)."""
+    nb = panel.shape[1]
     method = config.panel_method if config.use_pallas else "geqr2"
     if method == "cholqr2_hr":
         from .fast_panel import panel_factor_cholqr2hr
-        return panel_factor_cholqr2hr(panel, off, config)
+        packed, tau, T = panel_factor_cholqr2hr(panel, off, config)
+        return packed, tau, T, unit_vj(packed, off, nb)
+    if method == "cholqr2_bk":
+        from .fast_panel import panel_factor_cholqr2bk
+        return panel_factor_cholqr2bk(panel, off, config)
     if method == "geqrt":
         # Same guards as geqrt_panel: fp64 / too-tall panels fall back to the
         # jnp path; bf16 is computed in fp32 and cast back.
@@ -159,12 +207,14 @@ def _panel_factor_dyn(panel: jnp.ndarray, off, config: QRConfig):
             if panel.dtype == jnp.bfloat16:
                 packed, tau, T = _geqrt_recursive(
                     panel.astype(jnp.float32), off, config)
-                return packed.astype(jnp.bfloat16), tau, T
-            return _geqrt_recursive(panel, off, config)
+                packed = packed.astype(jnp.bfloat16)
+            else:
+                packed, tau, T = _geqrt_recursive(panel, off, config)
+            return packed, tau, T, unit_vj(packed, off, nb)
     from .householder import geqr2_dyn
     packed, tau = geqr2_dyn(panel, off, precision=config.precision)
     T = larft(_unpack_v_dyn(packed, off), tau, precision=config.precision)
-    return packed, tau, T
+    return packed, tau, T, unit_vj(packed, off, nb)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -188,17 +238,18 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     if config.driver == "scan":
         return _qr_blocked_scan(A, config)
 
-    taus, Ts = [], []
+    taus, Ts, VJs = [], [], []
     cols = [None] * k
     for i in range(k):
         off = i * nb
         panel = A[:, off:off + nb]
-        panel, tau, T = _panel_factor(panel, off, config)
+        panel, tau, T, VJ = _panel_factor(panel, off, config)
         cols[i] = panel
         taus.append(tau)
         Ts.append(T)
+        VJs.append(VJ)
         if off + nb < n_pad:
-            V = unpack_v(panel[off:], 0)
+            V = panel_v(panel, off, VJ)[off:]
             trail = larfb(A[off:, off + nb:], V, T, transpose=True,
                           precision=config.resolved_trailing_precision(),
                           ).astype(A.dtype)
@@ -206,10 +257,12 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
                 [A[:, :off + nb],
                  jnp.concatenate([A[:off, off + nb:], trail], axis=0)], axis=1)
     packed = jnp.concatenate(cols, axis=1)
-    return PackedQR(packed=packed, taus=jnp.stack(taus), Ts=jnp.stack(Ts))
+    return PackedQR(packed=packed, taus=jnp.stack(taus), Ts=jnp.stack(Ts),
+                    VJs=jnp.stack(VJs))
 
 
-def _apply_panels_scan(packed: jnp.ndarray, Ts: jnp.ndarray, B: jnp.ndarray,
+def _apply_panels_scan(packed: jnp.ndarray, Ts: jnp.ndarray, VJs: jnp.ndarray,
+                       B: jnp.ndarray,
                        transpose: bool, config: QRConfig) -> jnp.ndarray:
     """Apply all panel block-reflectors to B via staged scans.
 
@@ -226,29 +279,38 @@ def _apply_panels_scan(packed: jnp.ndarray, Ts: jnp.ndarray, B: jnp.ndarray,
     bounds = [round(s * k / stages) for s in range(stages + 1)]
     groups = list(zip(bounds[:-1], bounds[1:]))
 
-    def stage(B, packed_sub, Ts_all, ks, ke, transpose):
+    def stage(B, packed_sub, Ts_all, VJs_all, ks, ke, transpose):
         kg = ke - ks
+        g = _group_width(kg, config.apply_aggregate)
 
         def body(j, B):
             j = jnp.asarray(j, jnp.int32)
-            i = (ks + j) if transpose else (ke - 1 - j)
-            off = i * nb - ks * nb
-            panel = jax.lax.dynamic_slice(
-                packed_sub, (jnp.int32(0), off), (packed_sub.shape[0], nb))
-            V = _unpack_v_dyn(panel, off)
-            T = jax.lax.dynamic_slice(
-                Ts_all, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
-            return larfb(B, V, T.astype(B.dtype), transpose=transpose,
+            jg = j if transpose else (jnp.int32(kg // g) - 1 - j)
+            Vs, Tl = [], []
+            for l in range(g):
+                i = jnp.int32(ks) + jg * g + l
+                off = i * nb - ks * nb
+                panel = jax.lax.dynamic_slice(
+                    packed_sub, (jnp.int32(0), off),
+                    (packed_sub.shape[0], nb))
+                VJ = jax.lax.dynamic_slice(
+                    VJs_all, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
+                Vs.append(panel_v(panel, off, VJ))
+                Tl.append(jax.lax.dynamic_slice(
+                    Ts_all, (i, jnp.int32(0), jnp.int32(0)),
+                    (1, nb, nb))[0].astype(B.dtype))
+            V, T = _merge_group(Vs, Tl, prec)
+            return larfb(B, V, T, transpose=transpose,
                          precision=prec).astype(B.dtype)
 
-        return jax.lax.fori_loop(0, kg, body, B)
+        return jax.lax.fori_loop(0, kg // g, body, B)
 
     order = groups if transpose else list(reversed(groups))
     for ks, ke in order:
         if ke == ks:
             continue
         r0 = ks * nb
-        Bsub = stage(B[r0:], packed[r0:, r0:], Ts, ks, ke, transpose)
+        Bsub = stage(B[r0:], packed[r0:, r0:], Ts, VJs, ks, ke, transpose)
         B = B.at[r0:].set(Bsub)
     return B
 
@@ -269,7 +331,7 @@ def orgqr(factors: PackedQR, m: int, n: int,
     each stage operates on the diagonal-trailing SUBMATRIX -- rows AND
     columns sliced -- halving the GEMM volume vs a full-width sweep.
     """
-    packed, taus, Ts = factors
+    packed, taus, Ts, VJs = factors
     m_pad, n_pad = packed.shape
     nb = config.panel_width
     k = n_pad // nb
@@ -286,20 +348,28 @@ def orgqr(factors: PackedQR, m: int, n: int,
         sub = Q[r0:, c0:]
         psub = packed[r0:, r0:]
         kg = ke - ks
+        g = _group_width(kg, config.apply_aggregate)
 
-        def body(j, B, psub=psub, ks=ks, ke=ke, kg=kg):
+        def body(j, B, psub=psub, ks=ks, kg=kg, g=g):
             j = jnp.asarray(j, jnp.int32)
-            i = ke - 1 - j
-            off = (i - ks) * nb
-            panel = jax.lax.dynamic_slice(
-                psub, (jnp.int32(0), off), (psub.shape[0], nb))
-            V = _unpack_v_dyn(panel, off)
-            T = jax.lax.dynamic_slice(
-                Ts, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
-            return larfb(B, V, T.astype(B.dtype), transpose=False,
+            jg = jnp.int32(kg // g) - 1 - j
+            Vs, Tl = [], []
+            for l in range(g):
+                i = jnp.int32(ks) + jg * g + l
+                off = (i - ks) * nb
+                panel = jax.lax.dynamic_slice(
+                    psub, (jnp.int32(0), off), (psub.shape[0], nb))
+                VJ = jax.lax.dynamic_slice(
+                    VJs, (i, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
+                Vs.append(panel_v(panel, off, VJ))
+                Tl.append(jax.lax.dynamic_slice(
+                    Ts, (i, jnp.int32(0), jnp.int32(0)),
+                    (1, nb, nb))[0].astype(B.dtype))
+            V, T = _merge_group(Vs, Tl, prec)
+            return larfb(B, V, T, transpose=False,
                          precision=prec).astype(B.dtype)
 
-        sub = jax.lax.fori_loop(0, kg, body, sub)
+        sub = jax.lax.fori_loop(0, kg // g, body, sub)
         Q = Q.at[r0:, c0:].set(sub)
     return Q[:m]
 
@@ -308,12 +378,13 @@ def orgqr(factors: PackedQR, m: int, n: int,
 def ormqr(factors: PackedQR, B: jnp.ndarray, transpose: bool = True,
           config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
     """Apply Q^T (transpose=True) or Q to B (m x p) without forming Q."""
-    packed, taus, Ts = factors
+    packed, taus, Ts, VJs = factors
     m_pad, n_pad = packed.shape
     mB = B.shape[0]
     if mB < m_pad:
         B = jnp.pad(B, ((0, m_pad - mB), (0, 0)))
-    B = _apply_panels_scan(packed, Ts, B, transpose=transpose, config=config)
+    B = _apply_panels_scan(packed, Ts, VJs, B, transpose=transpose,
+                           config=config)
     return B[:mB]
 
 

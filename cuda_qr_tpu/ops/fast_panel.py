@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..utils.config import QRConfig
 from .householder import geqr2_dyn, larft
-from .smalllinalg import cholesky_with_inv, lu_with_inv
+from .smalllinalg import cholesky_with_inv, lu_with_inv, newton_inverse
 
 
 def _unpack_v_dyn(packed, off):
@@ -40,6 +40,33 @@ def _unpack_v_dyn(packed, off):
     r = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1) + jnp.asarray(off, jnp.int32)
     return jnp.where(r > c, packed, jnp.where(r == c, 1, 0).astype(packed.dtype))
+
+
+def _cholqr2(X, nb, dtype, prec):
+    """CholeskyQR2 of a zero-masked full-height panel: (Q, Rpos).
+
+    Round 2's Cholesky chain is Taylor-bypassed when its Gram matrix is
+    already I + O(sqrt(eps)) -- the common case after round 1.
+    """
+    G = jnp.einsum("ri,rj->ij", X, X, precision=prec)
+    L1, L1i = cholesky_with_inv(G, prec)
+    Q1 = jnp.einsum("ri,ji->rj", X, L1i, precision=prec)     # X L1^-T
+    G2 = jnp.einsum("ri,rj->ij", Q1, Q1, precision=prec)
+    E = G2 - jnp.eye(nb, dtype=dtype)
+    emax = jnp.max(jnp.abs(E))
+    tol = 3e-4 if dtype == jnp.float32 else 3e-8
+
+    def taylor(E):
+        C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
+        eye = jnp.eye(nb, dtype=dtype)
+        return eye + C, eye - C
+
+    L2, L2i = jax.lax.cond(emax < tol, taylor,
+                           lambda E: cholesky_with_inv(
+                               E + jnp.eye(nb, dtype=dtype), prec), E)
+    Q = jnp.einsum("ri,ji->rj", Q1, L2i, precision=prec)
+    Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
+    return Q, Rpos
 
 
 def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
@@ -63,30 +90,7 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
     X = jnp.where(live, panel, 0)
 
     def cholqr2hr(X):
-        # --- CholeskyQR2 (fused L/L^-1 per round: Q = X L^-T) ---
-        G = jnp.einsum("ri,rj->ij", X, X, precision=prec)
-        L1, L1i = cholesky_with_inv(G, prec)
-        Q1 = jnp.einsum("ri,ji->rj", X, L1i, precision=prec)     # X L1^-T
-        G2 = jnp.einsum("ri,rj->ij", Q1, Q1, precision=prec)
-        # Round 2: G2 = I + E with ||E|| ~ cond(X) * eps after round 1, so
-        # chol(I + E) = I + tril(E,-1) + diag(E)/2 + O(||E||^2).  When E is
-        # small enough that the O(E^2) term is below eps, the sequential
-        # Cholesky chain is replaced by two cheap triangle masks; the full
-        # factorization runs only for ill-conditioned panels (lax.cond).
-        E = G2 - jnp.eye(nb, dtype=dtype)
-        emax = jnp.max(jnp.abs(E))
-        tol = 3e-4 if dtype == jnp.float32 else 3e-8
-
-        def taylor(E):
-            C = jnp.tril(E, -1) + 0.5 * jnp.diag(jnp.diagonal(E))
-            eye = jnp.eye(nb, dtype=dtype)
-            return eye + C, eye - C
-
-        L2, L2i = jax.lax.cond(emax < tol, taylor,
-                               lambda E: cholesky_with_inv(
-                                   E + jnp.eye(nb, dtype=dtype), prec), E)
-        Q = jnp.einsum("ri,ji->rj", Q1, L2i, precision=prec)
-        Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
+        Q, Rpos = _cholqr2(X, nb, dtype, prec)
 
         # --- Householder reconstruction ---
         # All small quantities come from the nb x nb diagonal block of Q;
@@ -127,3 +131,83 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
     if cast_back is not None:
         packed = packed.astype(cast_back)
     return packed, tau, T
+
+
+def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
+    """Basis-kernel panel factorization: CholeskyQR2 + Yamamoto's N.
+
+    Like panel_factor_cholqr2hr, but instead of RECONSTRUCTING unit-lower
+    Householder vectors (whose LU is a second nb-step sequential chain), the
+    panel's orthogonal transform is carried directly in basis-kernel form
+    (Yamamoto et al., "Constructing Householder-type transformations from
+    TSQR output"):
+
+        Y = Q - E_J S,   N = (I - S Q_J)^{-1},   H = I - Y N Y^T,
+
+    with S = diag(-sign(diag Q_J)).  Then H Q = E_J S exactly when Q is
+    orthonormal, so H A = E_J (S Rpos) -- H is the panel's block reflector
+    with V := Y and T := N^T in the driver's Q_panel = I - V T V^T
+    convention.  N is computed by Newton-Schulz (newton_inverse):
+    ~2 log2(cond) dependent GEMMs instead of an nb-step LU chain, which
+    halves the sequential depth of every panel.  Ill-conditioned I - S Q_J
+    (rare; Newton residual check) falls back to the exact LU-chain inverse;
+    Cholesky breakdown falls back to masked Householder like the HR path.
+
+    Returns (packed, tau, T, VJ): packed has R (upper-triangular, HR sign
+    convention) in rows [off, off+nb) and Y's DENSE tail (= Q's tail) below;
+    VJ = Q_J - S is Y's dense diagonal block, carried in PackedQR.VJs.
+    tau := diag(T) nominally (there are no per-column Householder taus in
+    this representation).
+    """
+    m, nb = panel.shape
+    prec = config.precision
+    cast_back = None
+    if panel.dtype == jnp.bfloat16:
+        cast_back = jnp.bfloat16
+        panel = panel.astype(jnp.float32)
+    dtype = panel.dtype
+    off = jnp.asarray(off, jnp.int32)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    live = r_iota >= off
+    X = jnp.where(live, panel, 0)
+
+    def cholqr2bk(X):
+        Q, Rpos = _cholqr2(X, nb, dtype, prec)
+        QJ = jax.lax.dynamic_slice(Q, (off, jnp.int32(0)), (nb, nb))
+        qd = jnp.diagonal(QJ)
+        s = jnp.where(qd >= 0, -1, 1).astype(dtype)   # diag(I - S QJ) >= 1
+        M = jnp.eye(nb, dtype=dtype) - s[:, None] * QJ
+        N, err = newton_inverse(M, prec)
+        ns_tol = 2e-4 if dtype == jnp.float32 else 3e-8
+        N = jax.lax.cond(
+            err <= ns_tol, lambda _: N,
+            lambda M: (lambda L, U, Li, Ui: jnp.einsum(
+                "ij,jk->ik", Ui, Li, precision=prec))(*lu_with_inv(M, prec)),
+            M)
+        T = N.T
+        tau = jnp.diagonal(T)
+        R_house = s[:, None] * Rpos
+        VJ = QJ - jnp.diag(s)
+
+        R_placed = jax.lax.dynamic_update_slice(
+            jnp.zeros((m, nb), dtype), jnp.triu(R_house),
+            (off, jnp.int32(0)))
+        packed = jnp.where(r_iota < off, panel,
+                           jnp.where(r_iota < off + nb, R_placed, Q))
+        return packed, tau, T, VJ
+
+    def householder_fallback(X):
+        packed, tau = geqr2_dyn(panel, off, precision=prec)
+        T = larft(_unpack_v_dyn(packed, off), tau, precision=prec)
+        blockJ = jax.lax.dynamic_slice(packed, (off, jnp.int32(0)), (nb, nb))
+        VJ = jnp.tril(blockJ, -1) + jnp.eye(nb, dtype=packed.dtype)
+        return packed, tau, T, VJ
+
+    packed, tau, T, VJ = cholqr2bk(X)
+    bad = ~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))
+    packed, tau, T, VJ = jax.lax.cond(bad, householder_fallback,
+                                      lambda _: (packed, tau, T, VJ), X)
+    if cast_back is not None:
+        packed = packed.astype(cast_back)
+    return packed, tau, T, VJ

@@ -170,6 +170,50 @@ def larft(V: jnp.ndarray, tau: jnp.ndarray,
     return jax.lax.fori_loop(0, n, body, jnp.zeros((n, n), V.dtype))
 
 
+def panel_v(packed: jnp.ndarray, off, VJ: jnp.ndarray) -> jnp.ndarray:
+    """Full V (m x nb) of one panel from packed storage + its diagonal block.
+
+    Rows < off are zero; rows [off, off+nb) come from ``VJ`` (the panel's
+    nb x nb diagonal V block -- unit-lower for Householder-style panels,
+    dense for basis-kernel panels); rows >= off+nb are read from packed
+    storage unmasked (they sit strictly below every column's diagonal).
+    ``off`` may be traced.  Requires off + nb <= m (the blocked driver's
+    padding invariant).
+    """
+    m, nb = packed.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 0)
+    off = jnp.asarray(off, jnp.int32)
+    V = jnp.where(r >= off + nb, packed, 0)
+    return jax.lax.dynamic_update_slice(V, VJ.astype(packed.dtype),
+                                        (off, jnp.int32(0)))
+
+
+def unit_vj(packed: jnp.ndarray, off, nb: int) -> jnp.ndarray:
+    """Diagonal V block of a unit-lower (LAPACK-packed) panel: the strict
+    lower triangle of packed rows [off, off+nb) plus the implicit unit
+    diagonal (the reference's 0/1 reconstruction, qr.cu:356-404)."""
+    blockJ = jax.lax.dynamic_slice(
+        packed, (jnp.asarray(off, jnp.int32), jnp.int32(0)), (nb, nb))
+    return jnp.tril(blockJ, -1) + jnp.eye(nb, dtype=packed.dtype)
+
+
+def merge_wy(V1: jnp.ndarray, T1: jnp.ndarray, V2: jnp.ndarray,
+             T2: jnp.ndarray,
+             precision: Precision = Precision.HIGHEST) -> jnp.ndarray:
+    """Combined T of the product (I - V1 T1 V1^T)(I - V2 T2 V2^T).
+
+    With V = [V1 V2], the product equals I - V T V^T for
+        T = [[T1, -T1 (V1^T V2) T2], [0, T2]].
+    This is the aggregation that lets orgqr/ormqr apply g panels as ONE wide
+    block reflector: g x fewer sweeps over B and g*nb-deep MXU GEMMs.
+    """
+    k1, k2 = T1.shape[0], T2.shape[0]
+    G = jnp.einsum("ij,ik->jk", V1, V2, precision=precision)
+    T12 = -jnp.einsum("ij,jk,kl->il", T1, G, T2, precision=precision)
+    z = jnp.zeros((k2, k1), T1.dtype)
+    return jnp.block([[T1, T12], [z, T2]])
+
+
 def larfb(B: jnp.ndarray, V: jnp.ndarray, T: jnp.ndarray, transpose: bool = True,
           precision: Precision = Precision.HIGHEST) -> jnp.ndarray:
     """Apply the block reflector to B: Q^T B (transpose=True) or Q B.

@@ -145,6 +145,48 @@ def cholesky_with_inv(G: jnp.ndarray, precision: Precision = _H):
     return L, Li
 
 
+def newton_inverse(M: jnp.ndarray, precision: Precision = _H,
+                   tol: float | None = None, max_iters: int = 48):
+    """Dense inverse of a well-conditioned square M by Newton-Schulz.
+
+    X_{k+1} = X_k (2I - M X_k), X_0 = M^T / (||M||_1 ||M||_inf) -- globally
+    convergent, and every step is two nb x nb MXU GEMMs, so the whole inverse
+    is ~2 log2(cond(M)^2 n) dependent matmuls instead of an O(nb)-step LU
+    chain.  This is what makes the basis-kernel panel representation cheap:
+    the only non-GEMM work left per panel is the (unavoidable) Cholesky of
+    the Gram matrix.
+
+    Returns (X, err) where err = ||I - M X_prev||_max from the last accepted
+    iterate: err <= tol certifies convergence (the returned X is one
+    quadratic step better); err > tol (or NaN) means M was too
+    ill-conditioned and the caller must fall back (lu_with_inv).
+    """
+    n = M.shape[0]
+    dt = M.dtype
+    if tol is None:
+        tol = 2e-4 if dt == jnp.float32 else 3e-8
+    a = jnp.max(jnp.sum(jnp.abs(M), axis=0))
+    b = jnp.max(jnp.sum(jnp.abs(M), axis=1))
+    denom = jnp.maximum(a * b, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    X0 = (M / denom).T
+    eye = jnp.eye(n, dtype=dt)
+
+    def cond(c):
+        _, err, it = c
+        return jnp.logical_and(err > tol, it < max_iters)
+
+    def body(c):
+        X, _, it = c
+        P = jnp.einsum("ij,jk->ik", M, X, precision=precision)
+        err = jnp.max(jnp.abs(eye - P))
+        X = jnp.einsum("ij,jk->ik", X, 2 * eye - P, precision=precision)
+        return X, err, it + 1
+
+    X, err, _ = jax.lax.while_loop(
+        cond, body, (X0, jnp.asarray(jnp.inf, dt), jnp.int32(0)))
+    return X, err
+
+
 def lu_with_inv(Y: jnp.ndarray, precision: Precision = _H):
     """(L, U, L^{-1}, U^{-1}) of an unpivoted-LU-safe Y in one recursion."""
     n = Y.shape[0]

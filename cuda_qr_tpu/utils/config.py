@@ -66,9 +66,14 @@ class QRConfig:
     interpret: Optional[bool] = None
     max_vmem_panel_rows: int = 16384
     # Panel factorization for the blocked driver:
+    #   "cholqr2_bk": CholeskyQR2 + Yamamoto basis-kernel (V = Q - E S,
+    #     T = (I - S Q_J)^-T via Newton-Schulz) -- ONE sequential nb-step
+    #     chain per panel (the Gram Cholesky); the Householder-reconstruction
+    #     LU chain is replaced by ~15 dependent nb x nb GEMMs.  Fastest.
     #   "cholqr2_hr": CholeskyQR2 + Householder reconstruction -- pure MXU
     #     GEMMs + log-depth nb x nb recursions, with an automatic lax.cond
-    #     fallback to masked Householder on breakdown.  Fastest; default.
+    #     fallback to masked Householder on breakdown.  Produces true
+    #     unit-lower packed V (LAPACK storage convention).
     #   "geqrt": the Pallas VMEM-resident column-Householder kernel.
     #   "geqr2": pure-jnp masked Householder (reference semantics).
     panel_method: str = "cholqr2_hr"
@@ -86,6 +91,14 @@ class QRConfig:
     # waste shrinks from ~2x toward exact as stages grow, at one extra traced
     # body per stage.  4 stages ~= 47% of the unstaged GEMM volume at 8192^2.
     scan_stages: int = 4
+    # orgqr/ormqr panel aggregation: apply panels in groups of up to this
+    # many (power of two), merged into ONE wide block reflector via
+    #   T = [[T1, -T1 (V1^T V2) T2], [0, T2]]
+    # -- g x fewer sweeps over Q/B and g*nb-deep MXU GEMMs for the same
+    # flops (the merge itself is O(g^2 nb^2 m) small GEMMs).  Groups never
+    # straddle a stage boundary; stages whose panel count g does not divide
+    # fall back to smaller groups.
+    apply_aggregate: int = 4
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any

@@ -92,6 +92,88 @@ def test_blocked_qr_cholqr2hr(rng, m, n, cfg):
     assert chk.r_triangular == 0.0
 
 
+def test_newton_inverse(rng):
+    from cuda_qr_tpu.ops.smalllinalg import newton_inverse
+    M = np.eye(128) + 0.5 * rng.standard_normal((128, 128)) / np.sqrt(128)
+    X, err = newton_inverse(jnp.asarray(M))
+    assert float(err) < 3e-8
+    assert np.abs(np.asarray(X) @ M - np.eye(128)).max() < 1e-12
+
+
+def test_newton_inverse_singular_reports_failure():
+    from cuda_qr_tpu.ops.smalllinalg import newton_inverse
+    M = np.zeros((16, 16))
+    M[0, 0] = 1.0  # rank-1: no inverse exists
+    _, err = newton_inverse(jnp.asarray(M), max_iters=8)
+    assert not bool(err <= 3e-8)
+
+
+@pytest.mark.parametrize("m,nb,off", [(96, 32, 0), (96, 32, 16), (256, 64, 128)])
+def test_panel_bk_valid_representation(rng, m, nb, off):
+    """Basis-kernel panel: (I - V T V^T) E_J orthonormal, reproduces A."""
+    from cuda_qr_tpu.ops.fast_panel import panel_factor_cholqr2bk
+    from cuda_qr_tpu.ops.householder import panel_v
+    A = rng.standard_normal((m, nb))
+    cfg = QRConfig(dtype=jnp.float64, panel_method="cholqr2_bk")
+    packed, tau, T, VJ = jax.jit(
+        lambda a, o: panel_factor_cholqr2bk(a, o, cfg))(jnp.asarray(A), off)
+    np.testing.assert_array_equal(np.asarray(packed[:off]), A[:off])
+    V = np.asarray(panel_v(packed, off, VJ))
+    Tn = np.asarray(T)
+    E = np.zeros((m, nb))
+    E[off:off + nb] = np.eye(nb)
+    Qh = E - V @ (Tn @ (V.T @ E))           # (I - V T V^T) E_J
+    R = np.triu(np.asarray(packed[off:off + nb]))
+    assert np.abs(Qh.T @ Qh - np.eye(nb)).max() < 1e-13
+    live_A = np.where(np.arange(m)[:, None] >= off, A, 0)
+    assert np.abs(Qh @ R - live_A).max() < 1e-12
+
+
+@pytest.mark.parametrize("m,n", [(64, 64), (300, 130), (256, 96)])
+@pytest.mark.parametrize("cfg", [CFG32, CFG64], ids=["f32", "f64"])
+def test_blocked_qr_cholqr2bk(rng, m, n, cfg):
+    cfg = cfg.replace(panel_width=32, panel_method="cholqr2_bk")
+    A = rng.standard_normal((m, n)).astype(cfg.dtype)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < 4 * max(n, 32) * chk.eps, (m, n, chk)
+    assert chk.orthogonality < 8 * max(n, 32) * chk.eps, (m, n, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_blocked_qr_cholqr2bk_ormqr_roundtrip(rng):
+    from cuda_qr_tpu.ops.blocked import ormqr
+    cfg = CFG64.replace(panel_width=16, panel_method="cholqr2_bk")
+    m, n, p = 80, 48, 5
+    A = rng.standard_normal((m, n))
+    B = rng.standard_normal((m, p))
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    QtB = ormqr(fac, jnp.asarray(B), transpose=True, config=cfg)
+    back = ormqr(fac, QtB, transpose=False, config=cfg)
+    np.testing.assert_allclose(np.asarray(back), B, atol=1e-12)
+    # Q^T A must give [R; 0]
+    QtA = np.asarray(ormqr(fac, jnp.asarray(A), transpose=True, config=cfg))
+    np.testing.assert_allclose(QtA[:n], np.asarray(extract_r(fac, n)),
+                               atol=1e-12)
+    assert np.abs(QtA[n:]).max() < 1e-12
+
+
+def test_blocked_qr_cholqr2bk_rank_deficient_fallback(rng):
+    """Zero columns break Cholesky; the BK path must fall back cleanly."""
+    cfg = CFG64.replace(panel_width=16, panel_method="cholqr2_bk")
+    A = np.zeros((64, 32))
+    A[:, 0] = rng.standard_normal(64)
+    A[:, 17] = rng.standard_normal(64)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, 64, 32, cfg)
+    R = extract_r(fac, 32)
+    QR = np.asarray(Q) @ np.asarray(R)
+    assert np.isfinite(QR).all()
+    assert np.abs(QR - A).max() < 1e-12
+
+
 def test_blocked_qr_graded_matrix(rng):
     """Moderately ill-conditioned columns must survive (CholQR2 envelope)."""
     cfg = CFG32.replace(panel_width=16)
