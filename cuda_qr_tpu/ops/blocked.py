@@ -148,25 +148,29 @@ def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
 
 def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
     """fori_loop over k panels of a (sub)matrix whose panel 0 starts at its
-    own top-left corner.  Returns (packed_sub, taus (k, nb), Ts (k, nb, nb))."""
+    own top-left corner.  Returns PackedQR of the submatrix.
+
+    Panels are processed in lookahead groups of g = factor_lookahead (when it
+    divides k): within a group, each panel's reflector is applied narrowly to
+    only the group's remaining columns, the per-panel (V, T) are merged into
+    one g*nb-wide block reflector, and the expensive full-width masked
+    trailing update happens ONCE per group with K = g*nb-deep MXU GEMMs --
+    K=128-thin trailing GEMMs are the measured bottleneck at 8192^2
+    (~15 TF/s effective vs 26.5 TF/s for deep GEMMs; docs/PERF.md).
+    """
     m_pad, n_pad = A.shape
     nb = config.panel_width
     prec = config.resolved_trailing_precision()
+    g = _group_width(k, config.factor_lookahead)
     cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
 
-    def body(i, carry):
-        A, taus, Ts, VJs = carry
-        i = jnp.asarray(i, jnp.int32)  # fori index is int64 under x64
+    def leaf(state, i):
+        A, taus, Ts, VJs = state
         off = i * nb
         panel = jax.lax.dynamic_slice(A, (jnp.int32(0), off), (m_pad, nb))
         packed, tau, T, VJ = _panel_factor_dyn(panel, off, config)
         V = panel_v(packed, off, VJ)
-        W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
-        W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
-        U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
-        # T (and hence U) may be float32 for bf16 panels; cast back so the
-        # carry keeps A's dtype instead of promoting.
-        A = A - jnp.where(cmask_iota >= off + nb, U, 0).astype(A.dtype)
         A = jax.lax.dynamic_update_slice(
             A, packed.astype(A.dtype), (jnp.int32(0), off))
         # Panel methods may return bf16 tau/T; the carry is float32 for bf16
@@ -177,13 +181,41 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
             Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
         VJs = jax.lax.dynamic_update_slice(
             VJs, VJ[None].astype(VJs.dtype), (i, jnp.int32(0), jnp.int32(0)))
+        return (A, taus, Ts, VJs), V, T.astype(tdt)
+
+    def group(state, i, gw):
+        """Factor panels [i, i+gw); returns merged (V, T) of the group."""
+        if gw == 1:
+            return leaf(state, i)
+        half = gw // 2
+        state, V1, T1 = group(state, i, half)
+        # Apply the left half's block reflector to the right half's columns
+        # only (exact width; the full trailing matrix waits for the merge).
+        A, taus, Ts, VJs = state
+        coff = (i + half) * nb
+        B = jax.lax.dynamic_slice(A, (jnp.int32(0), coff), (m_pad, half * nb))
+        B = larfb(B, V1, T1, transpose=True, precision=prec).astype(A.dtype)
+        A = jax.lax.dynamic_update_slice(A, B, (jnp.int32(0), coff))
+        state, V2, T2 = group((A, taus, Ts, VJs), i + half, half)
+        T = merge_wy(V1, T1, V2, T2, prec)
+        return state, jnp.concatenate([V1, V2], axis=1), T
+
+    def body(j, carry):
+        j = jnp.asarray(j, jnp.int32)  # fori index is int64 under x64
+        i0 = j * g
+        (A, taus, Ts, VJs), V, T = group(carry, i0, g)
+        end = (i0 + g) * nb
+        W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
+        W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
+        U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
+        A = A - jnp.where(cmask_iota >= end, U, 0).astype(A.dtype)
         return A, taus, Ts, VJs
 
-    tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
     taus0 = jnp.zeros((k, nb), tdt)
     Ts0 = jnp.zeros((k, nb, nb), tdt)
     VJs0 = jnp.zeros((k, nb, nb), tdt)
-    A, taus, Ts, VJs = jax.lax.fori_loop(0, k, body, (A, taus0, Ts0, VJs0))
+    A, taus, Ts, VJs = jax.lax.fori_loop(0, k // g, body,
+                                         (A, taus0, Ts0, VJs0))
     return PackedQR(packed=A, taus=taus, Ts=Ts, VJs=VJs)
 
 

@@ -165,11 +165,17 @@ def newton_inverse(M: jnp.ndarray, precision: Precision = _H,
     dt = M.dtype
     if tol is None:
         tol = 2e-4 if dt == jnp.float32 else 3e-8
+    eye = jnp.eye(n, dtype=dt)
+    # Start: Neumann X0 = 2I - M when M is near I (one Newton step from I;
+    # residual (I-M)^2 -- the common case for basis-kernel panels, where
+    # I - M = S Q_J has O(1/sqrt(m)) entries and the loop then converges in
+    # ~3 iterations).  Otherwise the safe scaled-transpose start.
     a = jnp.max(jnp.sum(jnp.abs(M), axis=0))
     b = jnp.max(jnp.sum(jnp.abs(M), axis=1))
     denom = jnp.maximum(a * b, jnp.asarray(jnp.finfo(dt).tiny, dt))
-    X0 = (M / denom).T
-    eye = jnp.eye(n, dtype=dt)
+    E = eye - M
+    e2 = jnp.sqrt(jnp.sum(jnp.abs(E), 0).max() * jnp.sum(jnp.abs(E), 1).max())
+    X0 = jnp.where(e2 < 0.5, eye + E, (M / denom).T)
 
     def cond(c):
         _, err, it = c

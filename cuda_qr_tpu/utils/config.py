@@ -76,7 +76,9 @@ class QRConfig:
     #     unit-lower packed V (LAPACK storage convention).
     #   "geqrt": the Pallas VMEM-resident column-Householder kernel.
     #   "geqr2": pure-jnp masked Householder (reference semantics).
-    panel_method: str = "cholqr2_hr"
+    # Measured at 8192^2 fp32 (docs/PERF.md): cholqr2_bk 94 ms vs
+    # cholqr2_hr 116 ms -- the BK panel is the default.
+    panel_method: str = "cholqr2_bk"
     # Panel loop driver:
     #   "scan": one lax.fori_loop body, trailing update applied full-width
     #     with a column mask.  O(1) trace/compile cost in the panel count
@@ -99,6 +101,13 @@ class QRConfig:
     # straddle a stage boundary; stages whose panel count g does not divide
     # fall back to smaller groups.
     apply_aggregate: int = 4
+    # Factor-driver lookahead: panels are factored in groups of up to this
+    # many (power of two dividing the stage's panel count).  Within a group
+    # each panel updates only the group's remaining columns; the full-width
+    # masked trailing update runs once per group as a merged block reflector
+    # with K = g*nb-deep GEMMs.  Same flops, ~g x fewer full-width sweeps,
+    # and deep-K GEMMs run ~1.7x faster on the MXU than K=nb-thin ones.
+    factor_lookahead: int = 4
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any
