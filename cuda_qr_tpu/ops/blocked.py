@@ -119,13 +119,21 @@ def _unpack_v_dyn(packed: jnp.ndarray, off) -> jnp.ndarray:
 def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
     """Staged scan driver.
 
-    Panels are processed in config.scan_stages equal groups; each group's
+    Panels are processed in config.scan_stages equal groups; each stage's
     lax.fori_loop body operates on the statically-sliced trailing submatrix
-    (rows/columns before the group's first panel are provably never touched
+    (rows/columns before the stage's first panel are provably never touched
     by its panels), so the full-width-masked update waste shrinks toward
     exact slicing while trace/compile cost stays O(stages), not O(panels) --
     the binding constraint on this stack, where Mosaic compiles per Pallas
-    instance and the cholqr2_hr graph is deep.
+    instance and the panel graphs are deep.
+
+    The trailing matrix is never round-tripped through the full A inside the
+    loops: each stage consumes the live trailing submatrix and returns its
+    finalized packed columns, the final rows of everything to its right
+    (``top``: rows no later panel can touch), and the live remainder.  The
+    full packed matrix is assembled ONCE at the end from static concats --
+    measured at 8192^2, per-panel writes into a carried full A cost more
+    than the trailing GEMMs themselves (docs/PERF.md).
     """
     m_pad, n_pad = A.shape
     nb = config.panel_width
@@ -133,90 +141,107 @@ def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
     stages = max(1, min(config.scan_stages, k))
     bounds = [round(s * k / stages) for s in range(stages + 1)]
     taus_all, Ts_all, VJs_all = [], [], []
+    stage_cols = []   # per stage: packed columns (rows r0:, width kg*nb)
+    tops = []         # per stage: (r0, r1, final rows [r0, r1) of cols r1:)
+    T_mat = A
     for ks, ke in zip(bounds[:-1], bounds[1:]):
         if ke == ks:
             continue
-        r0 = ks * nb
-        g = _scan_panels(A[r0:, r0:], ke - ks, config)
-        A = A.at[r0:, r0:].set(g.packed)
+        r0, r1 = ks * nb, ke * nb
+        g, T_rest = _scan_panels(T_mat, ke - ks, config)
+        stage_cols.append(g.packed)
         taus_all.append(g.taus)
         Ts_all.append(g.Ts)
         VJs_all.append(g.VJs)
-    return PackedQR(packed=A, taus=jnp.concatenate(taus_all),
+        tops.append((r0, r1, T_rest[:r1 - r0]))
+        T_mat = T_rest[r1 - r0:]
+    # Assemble: column block s = [tops of earlier stages; its packed rows].
+    blocks = []
+    for s, cols in enumerate(stage_cols):
+        r0 = tops[s][0]
+        above = [t[:, r0 - ur1:r0 - ur1 + cols.shape[1]]
+                 for (ur0, ur1, t) in tops[:s]]
+        blocks.append(jnp.concatenate(above + [cols], axis=0))
+    packed = jnp.concatenate(blocks, axis=1)
+    return PackedQR(packed=packed, taus=jnp.concatenate(taus_all),
                     Ts=jnp.concatenate(Ts_all), VJs=jnp.concatenate(VJs_all))
 
 
 def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
-    """fori_loop over k panels of a (sub)matrix whose panel 0 starts at its
-    own top-left corner.  Returns PackedQR of the submatrix.
+    """fori_loop over the first k panels of a trailing (sub)matrix whose
+    panel 0 starts at its own top-left corner.
 
-    Panels are processed in lookahead groups of g = factor_lookahead (when it
-    divides k): within a group, each panel's reflector is applied narrowly to
-    only the group's remaining columns, the per-panel (V, T) are merged into
-    one g*nb-wide block reflector, and the expensive full-width masked
-    trailing update happens ONCE per group with K = g*nb-deep MXU GEMMs --
-    K=128-thin trailing GEMMs are the measured bottleneck at 8192^2
-    (~15 TF/s effective vs 26.5 TF/s for deep GEMMs; docs/PERF.md).
+    Returns (PackedQR-of-stage, T_rest): the PackedQR's ``packed`` holds the
+    k finalized panel COLUMN blocks (full submatrix height); T_rest is the
+    updated remainder A[:, k*nb:].
+
+    Panels are processed in lookahead groups of g = factor_lookahead (when
+    it divides k): a group slices its g*nb columns out of A ONCE, factors
+    them with exact-width internal updates, stores each packed panel into a
+    stacked (k, m, nb) side array (never written back into A -- per-panel
+    writes into the carried submatrix cost more than the trailing GEMMs,
+    docs/PERF.md), and applies ONE merged g*nb-deep masked block reflector
+    to A.  The group's own columns in A go stale; the side stack is the
+    source of truth, reassembled as one transpose+reshape at the end.
     """
-    m_pad, n_pad = A.shape
+    m_sub, n_sub = A.shape
     nb = config.panel_width
     prec = config.resolved_trailing_precision()
     g = _group_width(k, config.factor_lookahead)
-    cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_sub), 1)
     tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
-
-    def leaf(state, i):
-        A, taus, Ts, VJs = state
-        off = i * nb
-        panel = jax.lax.dynamic_slice(A, (jnp.int32(0), off), (m_pad, nb))
-        packed, tau, T, VJ = _panel_factor_dyn(panel, off, config)
-        V = panel_v(packed, off, VJ)
-        A = jax.lax.dynamic_update_slice(
-            A, packed.astype(A.dtype), (jnp.int32(0), off))
-        # Panel methods may return bf16 tau/T; the carry is float32 for bf16
-        # inputs, so cast to the carry dtype before the slice update.
-        taus = jax.lax.dynamic_update_slice(
-            taus, tau[None].astype(taus.dtype), (i, jnp.int32(0)))
-        Ts = jax.lax.dynamic_update_slice(
-            Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
-        VJs = jax.lax.dynamic_update_slice(
-            VJs, VJ[None].astype(VJs.dtype), (i, jnp.int32(0), jnp.int32(0)))
-        return (A, taus, Ts, VJs), V, T.astype(tdt)
-
-    def group(state, i, gw):
-        """Factor panels [i, i+gw); returns merged (V, T) of the group."""
-        if gw == 1:
-            return leaf(state, i)
-        half = gw // 2
-        state, V1, T1 = group(state, i, half)
-        # Apply the left half's block reflector to the right half's columns
-        # only (exact width; the full trailing matrix waits for the merge).
-        A, taus, Ts, VJs = state
-        coff = (i + half) * nb
-        B = jax.lax.dynamic_slice(A, (jnp.int32(0), coff), (m_pad, half * nb))
-        B = larfb(B, V1, T1, transpose=True, precision=prec).astype(A.dtype)
-        A = jax.lax.dynamic_update_slice(A, B, (jnp.int32(0), coff))
-        state, V2, T2 = group((A, taus, Ts, VJs), i + half, half)
-        T = merge_wy(V1, T1, V2, T2, prec)
-        return state, jnp.concatenate([V1, V2], axis=1), T
 
     def body(j, carry):
         j = jnp.asarray(j, jnp.int32)  # fori index is int64 under x64
+        A, Ps, taus, Ts, VJs = carry
         i0 = j * g
-        (A, taus, Ts, VJs), V, T = group(carry, i0, g)
+        cols = jax.lax.dynamic_slice(A, (jnp.int32(0), i0 * nb),
+                                     (m_sub, g * nb))
+        blocks = [cols[:, l * nb:(l + 1) * nb] for l in range(g)]
+        Vs, Tl = [], []
+        for l in range(g):
+            i = i0 + l
+            off = i * nb
+            packed, tau, T, VJ = _panel_factor_dyn(blocks[l], off, config)
+            V = panel_v(packed, off, VJ)
+            Ps = jax.lax.dynamic_update_slice(
+                Ps, packed[None].astype(Ps.dtype),
+                (i, jnp.int32(0), jnp.int32(0)))
+            # Panel methods may return bf16 tau/T; the carries are float32
+            # for bf16 inputs, so cast to the carry dtype before updating.
+            taus = jax.lax.dynamic_update_slice(
+                taus, tau[None].astype(taus.dtype), (i, jnp.int32(0)))
+            Ts = jax.lax.dynamic_update_slice(
+                Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
+            VJs = jax.lax.dynamic_update_slice(
+                VJs, VJ[None].astype(VJs.dtype),
+                (i, jnp.int32(0), jnp.int32(0)))
+            Vs.append(V)
+            Tl.append(T.astype(tdt))
+            if l + 1 < g:
+                # exact-width update of the group's remaining columns
+                rest = jnp.concatenate(blocks[l + 1:], axis=1)
+                rest = larfb(rest, V, Tl[-1], transpose=True,
+                             precision=prec).astype(A.dtype)
+                for ll in range(l + 1, g):
+                    blocks[ll] = rest[:, (ll - l - 1) * nb:(ll - l) * nb]
+        V, T = _merge_group(Vs, Tl, prec)
         end = (i0 + g) * nb
         W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
         W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
         U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
         A = A - jnp.where(cmask_iota >= end, U, 0).astype(A.dtype)
-        return A, taus, Ts, VJs
+        return A, Ps, taus, Ts, VJs
 
+    Ps0 = jnp.zeros((k, m_sub, nb), A.dtype)
     taus0 = jnp.zeros((k, nb), tdt)
     Ts0 = jnp.zeros((k, nb, nb), tdt)
     VJs0 = jnp.zeros((k, nb, nb), tdt)
-    A, taus, Ts, VJs = jax.lax.fori_loop(0, k // g, body,
-                                         (A, taus0, Ts0, VJs0))
-    return PackedQR(packed=A, taus=taus, Ts=Ts, VJs=VJs)
+    A, Ps, taus, Ts, VJs = jax.lax.fori_loop(
+        0, k // g, body, (A, Ps0, taus0, Ts0, VJs0))
+    packed_cols = jnp.swapaxes(Ps, 0, 1).reshape(m_sub, k * nb)
+    return (PackedQR(packed=packed_cols, taus=taus, Ts=Ts, VJs=VJs),
+            A[:, k * nb:])
 
 
 def _panel_factor_dyn(panel: jnp.ndarray, off, config: QRConfig):
