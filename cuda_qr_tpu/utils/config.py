@@ -108,6 +108,11 @@ class QRConfig:
     # with K = g*nb-deep GEMMs.  Same flops, ~g x fewer full-width sweeps,
     # and deep-K GEMMs run ~1.7x faster on the MXU than K=nb-thin ones.
     factor_lookahead: int = 4
+    # Run the panel Gram Cholesky+inverse as one fused Mosaic kernel
+    # (ops/pallas_chol.py) instead of the XLA op chain -- the last
+    # sequential chain per panel.  f32, 16-multiple panel widths only;
+    # ineligible shapes fall back to the jnp recursion automatically.
+    use_chol_kernel: bool = True
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any

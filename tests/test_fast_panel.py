@@ -92,6 +92,25 @@ def test_blocked_qr_cholqr2hr(rng, m, n, cfg):
     assert chk.r_triangular == 0.0
 
 
+@pytest.mark.parametrize("nb", [16, 32, 128])
+def test_pallas_chol_with_inv(rng, nb):
+    from cuda_qr_tpu.ops.pallas_chol import chol_with_inv_pallas
+    B = rng.standard_normal((nb, 2 * nb)).astype(np.float32)
+    G = jnp.asarray(B @ B.T / (2 * nb))
+    L, Li = chol_with_inv_pallas(G, interpret=True)
+    L, Li = np.asarray(L), np.asarray(Li)
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+    assert np.abs(L @ L.T - np.asarray(G)).max() < 1e-5
+    assert np.abs(Li @ L - np.eye(nb)).max() < 1e-4
+
+
+def test_pallas_chol_not_pd_gives_nonfinite():
+    from cuda_qr_tpu.ops.pallas_chol import chol_with_inv_pallas
+    G = jnp.asarray(-np.eye(32, dtype=np.float32))
+    L, Li = chol_with_inv_pallas(G, interpret=True)
+    assert not np.isfinite(np.asarray(L)).all()
+
+
 def test_newton_inverse(rng):
     from cuda_qr_tpu.ops.smalllinalg import newton_inverse
     M = np.eye(128) + 0.5 * rng.standard_normal((128, 128)) / np.sqrt(128)
