@@ -9,7 +9,7 @@ C99 oracle implementing the reference's sliding-panel algorithm.
 
 from .models.caqr import caqr, caqr_r
 from .models.lstsq import LstsqResult, lstsq, solve
-from .models.qr import qr, qr_factor, QRResult
+from .models.qr import qr, qr_factor, qr_pivoted, QRResult
 from .models.tsqr import tsqr, tsqr_r
 from .ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
 from .ops.householder import geqr2, larfb, larft, make_reflector, unpack_r, unpack_v
@@ -22,7 +22,7 @@ from .utils.verify import QRCheck, check_qr
 __version__ = "0.2.0"
 
 __all__ = [
-    "qr", "qr_factor", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
+    "qr", "qr_factor", "qr_pivoted", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
     "extract_r", "geqr2", "larfb", "larft", "make_reflector", "unpack_r",
     "unpack_v", "QRConfig", "DEFAULT_CONFIG", "QRCheck", "check_qr",
     "tsqr", "tsqr_r", "tsqr_dist", "caqr", "caqr_r", "lstsq", "solve", "LstsqResult",

@@ -18,6 +18,9 @@ Commands:
   caqr m n [--devices D] [--layout block|cyclic] -- distributed CAQR over
                   the available devices (use JAX_PLATFORMS=cpu +
                   --xla_force_host_platform_device_count for a virtual mesh)
+  pivoted m n [--rank r] [--decay d] -- rank-revealing randomized QRCP
+                  (optionally truncated at rank r; decay < 1 generates a
+                  geometrically decaying spectrum)
 """
 
 from __future__ import annotations
@@ -179,6 +182,40 @@ def cmd_caqr(args):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_pivoted(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.qr import qr_pivoted
+    from .utils.timing import bench, qr_flops
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = rng.standard_normal((args.m, args.n))
+    if args.decay < 1.0:  # decaying spectrum: the rank-revealing use case
+        U, _ = np.linalg.qr(rng.standard_normal((args.m, args.n)))
+        V, _ = np.linalg.qr(rng.standard_normal((args.n, args.n)))
+        A = (U * args.decay ** np.arange(args.n)) @ V.T
+    Aj = jnp.asarray(A, dtype=cfg.dtype)
+    r = bench(lambda a: qr_pivoted(a, cfg, rank=args.rank), Aj,
+              reps=args.trials, flops=qr_flops(args.m, args.n))
+    rec = {"cmd": "pivoted", "m": args.m, "n": args.n, "dtype": args.dtype,
+           "rank": args.rank, "decay": args.decay,
+           "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1), "gflops": round(r.gflops, 1)}
+    if not args.no_verify:
+        Q, R, piv = qr_pivoted(Aj, cfg, rank=args.rank)
+        Qn = np.asarray(Q, np.float64)
+        Rn = np.asarray(R, np.float64)
+        resid = float(np.linalg.norm(A[:, np.asarray(piv)] - Qn @ Rn)
+                      / np.linalg.norm(A))
+        orth = float(np.abs(Qn.T @ Qn - np.eye(Qn.shape[1])).max())
+        eps = float(jnp.finfo(cfg.dtype).eps)
+        ok = (resid < args.n * eps) if args.rank is None else (orth < 1e-4)
+        rec |= {"residual": resid, "orthogonality": orth, "ok": ok}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def cmd_oracle(args):
     import numpy as np
     from .oracle import binding
@@ -222,6 +259,11 @@ def main(argv=None):
     sp.add_argument("n", type=int)
     sp.add_argument("--devices", type=int, default=None)
     sp.add_argument("--layout", choices=["block", "cyclic"], default="block")
+    sp = sub.add_parser("pivoted")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--rank", type=int, default=None)
+    sp.add_argument("--decay", type=float, default=1.0)
     args = p.parse_args(argv)
     for dim in ("m", "n", "k", "pr", "pc"):
         if getattr(args, dim, 1) < 1:
@@ -230,7 +272,7 @@ def main(argv=None):
         p.error(f"need n <= m, got m={args.m} n={args.n}")
     return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
             "compare": cmd_compare, "oracle": cmd_oracle,
-            "caqr": cmd_caqr}[args.cmd](args)
+            "caqr": cmd_caqr, "pivoted": cmd_pivoted}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,38 @@ def _qr_diff_bwd(config, residuals, cotangents):
 _qr_diff.defvjp(_qr_diff_fwd, _qr_diff_bwd)
 
 
+def qr_pivoted(A, config: QRConfig = DEFAULT_CONFIG, rank: int | None = None,
+               key=None):
+    """Column-pivoted (rank-revealing) QR: A[:, piv] = Q @ R.
+
+    Randomized blocked QRCP (ops/qrcp.py -- Duersch & Gu 2017 shaped for
+    the MXU; the reference and XLA's TPU lowering have no pivoted QR).
+
+    rank=None: full factorization -- Q (m x n), R (n x n) upper-triangular,
+      piv (n,) with A[:, piv] = Q R.
+    rank=r: truncated rank-revealing factorization after ceil(r/nb) panel
+      blocks -- Q (m x r), R (r x n), piv (n,) with A[:, piv] ~= Q R up to
+      the neglected singular values.
+    """
+    from ..ops.qrcp import qrcp_blocked
+    from ..utils.geometry import round_up
+    A = jnp.asarray(A)
+    m, n = A.shape
+    nb = config.panel_width
+    num_panels = None
+    if rank is not None:
+        if not 1 <= rank <= n:
+            from ..utils.errors import QRShapeError
+            raise QRShapeError(f"rank must be in [1, {n}], got {rank}")
+        num_panels = -(-rank // nb)
+    factors, jpvt, R12 = qrcp_blocked(A, config, key, num_panels)
+    kb = factors.packed.shape[1]
+    Q = orgqr(factors, m, kb, config)
+    R = jnp.concatenate([extract_r(factors, kb), R12], axis=1)
+    r = min(n, kb) if rank is None else rank
+    return Q[:, :r], R[:r, :n], jpvt[:n]
+
+
 def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     """QR factorization with numpy.linalg.qr-style modes.
 

@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12)  # the reference's srand(12), qr.cu:765
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    With the full suite in one process the XLA:CPU backend accumulates
+    hundreds of live executables and eventually segfaults inside
+    backend_compile_and_load (reproduced twice at the same test, never in
+    smaller runs).  Bounding the live-executable count dodges the crash and
+    caps RSS; cross-module jit reuse is rare, so the recompile cost is
+    small.
+    """
+    yield
+    jax.clear_caches()

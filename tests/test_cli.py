@@ -33,6 +33,13 @@ def test_cli_rejects_bad_sizes():
     assert out.returncode == 2 and "n <= m" in out.stderr
 
 
+def test_cli_pivoted():
+    out = run_cli("--no-pallas", "--trials", "1", "pivoted", "128", "64",
+                  "--decay", "0.9")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["residual"] < 64 * 1.2e-7
+
+
 def test_cli_caqr_virtual_mesh():
     import os
     out = subprocess.run(
