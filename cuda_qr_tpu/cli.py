@@ -163,6 +163,14 @@ def cmd_caqr(args):
 
     cfg = _config(args)
     n_dev = args.devices or len(jax.devices())
+    if len(jax.devices()) < n_dev:
+        print(f"error: {n_dev} devices requested, "
+              f"{len(jax.devices())} available "
+              f"({jax.default_backend()}); for a virtual mesh use "
+              "--platform cpu with "
+              "XLA_FLAGS=--xla_force_host_platform_device_count=N",
+              file=sys.stderr)
+        return 2
     mesh = row_mesh(n_dev)
     rng = np.random.default_rng(args.seed)
     A = rng.standard_normal((args.m, args.n)).astype(np.float64)
@@ -233,6 +241,14 @@ def main(argv=None):
     enable_persistent_cache()  # amortize XLA compiles across CLI invocations
 
     p = argparse.ArgumentParser(prog="cuda_qr_tpu", description=__doc__)
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force the JAX platform. NOTE: this container's "
+                        "sitecustomize registers the TPU backend "
+                        "programmatically and the JAX_PLATFORMS env var is "
+                        "ignored -- use this flag (it calls "
+                        "jax.config.update before any device access), e.g. "
+                        "for a virtual CPU mesh with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=8")
     p.add_argument("--dtype", choices=["f32", "f64", "bf16"], default="f32")
     p.add_argument("--trials", type=int, default=3)  # qr.cu:25
     p.add_argument("--seed", type=int, default=12)   # qr.cu:765
@@ -265,6 +281,9 @@ def main(argv=None):
     sp.add_argument("--rank", type=int, default=None)
     sp.add_argument("--decay", type=float, default=1.0)
     args = p.parse_args(argv)
+    if args.platform == "cpu":  # "tpu" = default platform priority
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     for dim in ("m", "n", "k", "pr", "pc"):
         if getattr(args, dim, 1) < 1:
             p.error(f"{dim} must be >= 1, got {getattr(args, dim)}")

@@ -44,6 +44,7 @@ def test_cli_caqr_virtual_mesh():
     import os
     out = subprocess.run(
         [sys.executable, "-m", "cuda_qr_tpu", "--no-pallas", "--trials", "1",
+         "--platform", "cpu",
          "caqr", "128", "64", "--devices", "8", "--layout", "cyclic"],
         capture_output=True, text=True,
         env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
