@@ -50,12 +50,16 @@ from .householder import panel_v
 _H = jax.lax.Precision.HIGHEST
 
 
-def _select_pivots(B, j0, nb, cand, prec):
+def _select_pivots(B, j0, nb, cand, prec, config=None):
     """Greedy sketch-space QRCP pivot selection for one block step.
 
     B: (l, n_pad) current sketch; j0: first active column (traced).
     Returns ordsel (n_pad,) int32: selection rank 0..nb-1 for chosen
     columns, -1 elsewhere.  Chosen columns always satisfy col >= j0.
+
+    The nb-step greedy loop runs as one fused Mosaic kernel when eligible
+    (ops/pallas_select.py); the jnp fori_loop below is the reference
+    fallback (identical pivots including the lowest-index tie-break).
     """
     l, n_pad = B.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad,), 0)
@@ -69,6 +73,13 @@ def _select_pivots(B, j0, nb, cand, prec):
     Sc = jnp.take(B, cand_idx, axis=1)                      # (l, cand)
     norms_c = jnp.take(norms, cand_idx)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (cand,), 0)
+
+    if config is not None and config.use_pallas and config.use_select_kernel:
+        from .pallas_select import select_pivots_pallas, supported
+        if supported(l, cand, nb, B.dtype):
+            ord_c = select_pivots_pallas(Sc, norms_c, nb,
+                                         config.resolved_interpret())
+            return jnp.full((n_pad,), -1, jnp.int32).at[cand_idx].set(ord_c)
 
     def body(i, carry):
         Sc, norms_c, ord_c = carry
@@ -151,7 +162,7 @@ def qrcp_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
         A, B, jpvt, Ps, taus, Ts, VJs = carry
         j0 = j * nb
 
-        ordsel = _select_pivots(B, j0, nb, cand, prec)
+        ordsel = _select_pivots(B, j0, nb, cand, prec, config)
         perm = _block_perm(ordsel, j0, nb)
         A = jnp.take(A, perm, axis=1)
         B = jnp.take(B, perm, axis=1)

@@ -113,6 +113,11 @@ class QRConfig:
     # sequential chain per panel.  f32, 16-multiple panel widths only;
     # ineligible shapes fall back to the jnp recursion automatically.
     use_chol_kernel: bool = True
+    # Run the QRCP per-block pivot selection (nb greedy Gram-Schmidt steps
+    # on the sketch tile) as one fused Mosaic kernel (ops/pallas_select.py)
+    # instead of an nb-step XLA fori_loop.  f32, 128-multiple candidate
+    # widths only; ineligible shapes fall back automatically.
+    use_select_kernel: bool = True
     # TSQR leaf factorization: "householder" (unconditionally stable) or
     # "cholqr2" (CholeskyQR2: pure MXU GEMM/chol/trsm, ~40x less HBM traffic,
     # requires cond(A) <~ 1/sqrt(eps) -- fine for the trailing panels of any

@@ -92,6 +92,35 @@ def test_qrcp_rank_deficient_and_zero_cols(rng):
     assert d[r:].max() < 1e-3 * d[0]  # rank revealed on the diagonal
 
 
+def test_select_kernel_matches_jnp(rng):
+    """Pallas selection kernel (interpret mode) picks the identical pivots,
+    in the identical order, as the jnp fori_loop reference path."""
+    import jax
+    from cuda_qr_tpu.ops import qrcp as qmod
+    from cuda_qr_tpu.ops.pallas_select import select_pivots_pallas, supported
+    l, cand, nb = 64, 128, 32
+    assert supported(l, cand, nb, jnp.float32)
+    B = jnp.asarray(rng.standard_normal((l, cand)).astype(np.float32))
+    norms = jnp.sum(B * B, axis=0)
+    ord_k = np.asarray(select_pivots_pallas(B, norms, nb, interpret=True))
+
+    # reference: the module's fori_loop body via _select_pivots with the
+    # kernel disabled (config=None)
+    ordsel = np.asarray(qmod._select_pivots(
+        B, jnp.int32(0), nb, cand, jax.lax.Precision.HIGHEST))
+    assert (ord_k == ordsel).all()
+    assert sorted(ord_k[ord_k >= 0].tolist()) == list(range(nb))
+
+
+def test_qrcp_with_select_kernel(rng):
+    """End-to-end QRCP through the kernel-eligible path (interpret mode on
+    CPU): nb=32 -> cand=128."""
+    cfg = QRConfig(dtype=jnp.float32, panel_width=32, scan_stages=2)
+    A = rng.standard_normal((160, 128)).astype(np.float32)
+    Q, R, piv = qr_pivoted(A, cfg)
+    _check_pivoted(A, Q, R, piv, 200 * 128 * np.finfo(np.float32).eps)
+
+
 def test_qrcp_wide_raises(rng):
     A = rng.standard_normal((16, 32)).astype(np.float32)
     with pytest.raises(QRShapeError):
