@@ -54,16 +54,23 @@ def _batched_cholqr2(blocks: jnp.ndarray, precision):
     """
     from ..ops.smalllinalg import cholesky_with_inv
 
+    n = blocks.shape[2]
+
     def one_round(A):
         G = jnp.einsum("lbi,lbj->lij", A, A, precision=precision)
         Lc, Li = jax.vmap(lambda g: cholesky_with_inv(g, precision))(G)
         Q = jnp.einsum("lbi,lji->lbj", A, Li, precision=precision)  # A L^-T
-        return Q, Lc.swapaxes(1, 2)                                  # R upper
+        return Q, Lc.swapaxes(1, 2), G                               # R upper
 
-    Q1, R1 = one_round(blocks)
-    Q, R2 = one_round(Q1)
+    Q1, R1, _ = one_round(blocks)
+    Q, R2, G2 = one_round(Q1)
+    # Round-1 orthogonality defect ~ eps * cond(leaf)^2: above ~0.05 the
+    # second round cannot restore O(eps) orthogonality and Cholesky may
+    # stay finite anyway -- callers must gate on emax, not just NaNs
+    # (same silent-loss mode as fast_panel._cholqr2).
+    emax = jnp.max(jnp.abs(G2 - jnp.eye(n, dtype=blocks.dtype)))
     R = jnp.einsum("lij,ljk->lik", R2, R1, precision=precision)
-    return Q, R
+    return Q, R, emax
 
 
 def _leaf_qr(blocks: jnp.ndarray, config: QRConfig):
@@ -77,10 +84,11 @@ def _leaf_qr(blocks: jnp.ndarray, config: QRConfig):
         return _batched_orgqr(packed, T, prec), R
 
     if config.tsqr_leaf == "cholqr2":
-        Q, R = _batched_cholqr2(blocks, prec)
-        bad = ~jnp.isfinite(jnp.sum(Q) + jnp.sum(R))
+        Q, R, emax = _batched_cholqr2(blocks, prec)
+        bad = (~jnp.isfinite(jnp.sum(Q) + jnp.sum(R))) | (emax > 0.05)
         # lax.cond: the Householder branch only executes when CholeskyQR2
-        # actually produced non-finite output (rank-deficient leaf).
+        # broke down (rank-deficient leaf) or silently lost orthogonality
+        # (eps * cond^2 too large to repair -- no NaN in that mode).
         return jax.lax.cond(bad, householder, lambda b: (Q, R), blocks)
     return householder(blocks)
 

@@ -43,12 +43,19 @@ def _unpack_v_dyn(packed, off):
 
 
 def _cholqr2(X, nb, dtype, prec, config=None):
-    """CholeskyQR2 of a zero-masked full-height panel: (Q, Rpos).
+    """CholeskyQR2 of a zero-masked full-height panel: (Q, Rpos, emax).
 
     Round 2's Cholesky chain is Taylor-bypassed when its Gram matrix is
     already I + O(sqrt(eps)) -- the common case after round 1.  The nb x nb
     Cholesky+inverse runs as ONE fused Mosaic kernel when eligible
     (pallas_chol; ~0.1 ms vs ~0.33 ms as an XLA op chain at nb=128).
+
+    emax = max|Q1^T Q1 - I| after round 1 ~= eps * cond(X)^2: callers gate
+    on it because CholeskyQR2 silently loses orthogonality (NO NaN) once
+    cond(X)^2 * eps approaches 1 -- round 2 only restores O(eps)
+    orthogonality while emax is small.  Observed in the wild: the last
+    panels of a square Gaussian 8192^2 at nb=256 factor to orth ~ 78
+    without tripping any finiteness check.
     """
     chol = cholesky_with_inv
     if config is not None and config.use_pallas and config.use_chol_kernel:
@@ -74,7 +81,13 @@ def _cholqr2(X, nb, dtype, prec, config=None):
                            E)
     Q = jnp.einsum("ri,ji->rj", Q1, L2i, precision=prec)
     Rpos = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)   # R2 R1
-    return Q, Rpos
+    return Q, Rpos, emax
+
+
+# Above this round-1 Gram error, round 2 cannot restore O(eps)
+# orthogonality (needs eps*cond(X)^2 << 1); callers fall back to the
+# masked-Householder panel.  Dimensionless, so one gate serves f32/f64.
+_EMAX_GATE = 0.05
 
 
 def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
@@ -98,7 +111,7 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
     X = jnp.where(live, panel, 0)
 
     def cholqr2hr(X):
-        Q, Rpos = _cholqr2(X, nb, dtype, prec, config)
+        Q, Rpos, emax = _cholqr2(X, nb, dtype, prec, config)
 
         # --- Householder reconstruction ---
         # All small quantities come from the nb x nb diagonal block of Q;
@@ -125,15 +138,15 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
         d = off + col
         packed = jnp.where(r_iota < off, panel,
                            jnp.where(r_iota <= d, R_placed, V))
-        return packed, tau, T
+        return packed, tau, T, emax
 
     def householder_fallback(X):
         packed, tau = geqr2_dyn(panel, off, precision=prec)
         T = larft(_unpack_v_dyn(packed, off), tau, precision=prec)
         return packed, tau, T
 
-    packed, tau, T = cholqr2hr(X)
-    bad = ~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))
+    packed, tau, T, emax = cholqr2hr(X)
+    bad = (~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))) | (emax > _EMAX_GATE)
     packed, tau, T = jax.lax.cond(bad, householder_fallback,
                                   lambda _: (packed, tau, T), X)
     if cast_back is not None:
@@ -181,7 +194,7 @@ def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
     X = jnp.where(live, panel, 0)
 
     def cholqr2bk(X):
-        Q, Rpos = _cholqr2(X, nb, dtype, prec, config)
+        Q, Rpos, emax = _cholqr2(X, nb, dtype, prec, config)
         QJ = jax.lax.dynamic_slice(Q, (off, jnp.int32(0)), (nb, nb))
         qd = jnp.diagonal(QJ)
         s = jnp.where(qd >= 0, -1, 1).astype(dtype)   # diag(I - S QJ) >= 1
@@ -203,7 +216,7 @@ def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
             (off, jnp.int32(0)))
         packed = jnp.where(r_iota < off, panel,
                            jnp.where(r_iota < off + nb, R_placed, Q))
-        return packed, tau, T, VJ
+        return packed, tau, T, VJ, emax
 
     def householder_fallback(X):
         packed, tau = geqr2_dyn(panel, off, precision=prec)
@@ -212,8 +225,8 @@ def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
         VJ = jnp.tril(blockJ, -1) + jnp.eye(nb, dtype=packed.dtype)
         return packed, tau, T, VJ
 
-    packed, tau, T, VJ = cholqr2bk(X)
-    bad = ~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))
+    packed, tau, T, VJ, emax = cholqr2bk(X)
+    bad = (~jnp.isfinite(jnp.sum(packed) + jnp.sum(T))) | (emax > _EMAX_GATE)
     packed, tau, T, VJ = jax.lax.cond(bad, householder_fallback,
                                       lambda _: (packed, tau, T, VJ), X)
     if cast_back is not None:

@@ -111,6 +111,40 @@ def test_pallas_chol_not_pd_gives_nonfinite():
     assert not np.isfinite(np.asarray(L)).all()
 
 
+@pytest.mark.parametrize("method", ["cholqr2_bk", "cholqr2_hr"])
+def test_illconditioned_panel_gate(rng, method):
+    """cond(X) ~ 1e4 in fp32: CholeskyQR2 loses orthogonality WITHOUT
+    producing NaNs (eps*cond^2 >> 1), so only the emax gate routes the
+    panel to the Householder fallback.  Regression for the silent 8192^2
+    nb=256 corruption (orth ~ 78) found on TPU."""
+    m, nb = 256, 32
+    U, _ = np.linalg.qr(rng.standard_normal((m, nb)))
+    V, _ = np.linalg.qr(rng.standard_normal((nb, nb)))
+    s = np.logspace(0, -4, nb)
+    A = ((U * s) @ V.T).astype(np.float32)
+    cfg = QRConfig(dtype=jnp.float32, panel_width=nb, panel_method=method,
+                   scan_stages=1)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, nb, cfg)
+    R = extract_r(fac, nb)
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.orthogonality < 100 * nb * chk.eps, chk
+    assert chk.residual < 100 * nb * chk.eps, chk
+
+
+def test_blocked_qr_nb256(rng):
+    """Wide panels (the measured-fastest 8192^2 TPU config, docs/PERF.md):
+    nb=256 through the bk panel + 256-wide Pallas chol kernel path."""
+    cfg = QRConfig(dtype=jnp.float32, panel_width=256, scan_stages=2)
+    m, n = 640, 512
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.ok, chk
+
+
 def test_newton_inverse(rng):
     from cuda_qr_tpu.ops.smalllinalg import newton_inverse
     M = np.eye(128) + 0.5 * rng.standard_normal((128, 128)) / np.sqrt(128)
