@@ -90,6 +90,43 @@ def _cholqr2(X, nb, dtype, prec, config=None):
 _EMAX_GATE = 0.05
 
 
+def _hr_construct(Q, Rpos, panel, off, prec):
+    """Householder reconstruction (packed, tau, T, VJ) from CholeskyQR2's
+    explicit Q / positive-diagonal R (Ballard et al., IPDPS 2014).
+
+    Shared by panel_factor_cholqr2hr and the basis-kernel path's
+    ill-conditioned-M fallback.  Stable for ANY orthonormal Q: the LU it
+    performs is of Y_J = I - Q_J S with |diag| = 1 + |q_jj| >= 1 (proven
+    growth bound), unlike the basis kernel's N = (I - S Q_J)^{-1} whose
+    conditioning is unbounded for near-square live panels.
+    Returns VJ as the exact unit-lower diagonal V block.
+    """
+    m, nb = panel.shape
+    dtype = panel.dtype
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    QJ = jax.lax.dynamic_slice(Q, (off, jnp.int32(0)), (nb, nb))
+    qd = jnp.diagonal(QJ)
+    s = jnp.where(qd >= 0, -1, 1).astype(dtype)              # = -sign conv
+    YJ = jnp.eye(nb, dtype=dtype) - QJ * s[None, :]
+    VJl, W, VJi, Wi = lu_with_inv(YJ, prec)
+    # V = (E_J - Q S) Wi = place(Wi at rows J) - Q (S Wi)
+    Wi_s = s[:, None] * Wi
+    Z = jnp.einsum("rj,jk->rk", Q, Wi_s, precision=prec)     # (m, nb)
+    ZJ = jax.lax.dynamic_slice(Z, (off, jnp.int32(0)), (nb, nb))
+    V = jax.lax.dynamic_update_slice(-Z, Wi - ZJ, (off, jnp.int32(0)))
+    T = jnp.einsum("ij,kj->ik", W, VJi, precision=prec)      # W VJ^-T
+    tau = jnp.diagonal(T)
+    R_house = s[:, None] * Rpos
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
+    R_placed = jax.lax.dynamic_update_slice(
+        jnp.zeros((m, nb), dtype), R_house, (off, jnp.int32(0)))
+    d = off + col
+    packed = jnp.where(r_iota < off, panel,
+                       jnp.where(r_iota <= d, R_placed, V))
+    VJ = jnp.tril(VJl, -1) + jnp.eye(nb, dtype=dtype)
+    return packed, tau, T, VJ
+
+
 def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
     """Factor rows >= off of a full-height (m x nb) panel.
 
@@ -112,32 +149,10 @@ def panel_factor_cholqr2hr(panel: jnp.ndarray, off, config: QRConfig):
 
     def cholqr2hr(X):
         Q, Rpos, emax = _cholqr2(X, nb, dtype, prec, config)
-
-        # --- Householder reconstruction ---
-        # All small quantities come from the nb x nb diagonal block of Q;
-        # the only full-height work is ONE GEMM (V = -Q (S Wi) with the
-        # rows-J correction), never a materialized E_J - Q S.
-        QJ = jax.lax.dynamic_slice(Q, (off, jnp.int32(0)), (nb, nb))
-        qd = jnp.diagonal(QJ)
-        s = jnp.where(qd >= 0, -1, 1).astype(dtype)              # = -sign conv
-        YJ = jnp.eye(nb, dtype=dtype) - QJ * s[None, :]
-        VJ, W, VJi, Wi = lu_with_inv(YJ, prec)
-        # V = (E_J - Q S) Wi = place(Wi at rows J) - Q (S Wi)
-        Wi_s = s[:, None] * Wi
-        Z = jnp.einsum("rj,jk->rk", Q, Wi_s, precision=prec)     # (m, nb)
-        ZJ = jax.lax.dynamic_slice(Z, (off, jnp.int32(0)), (nb, nb))
-        V = jax.lax.dynamic_update_slice(-Z, Wi - ZJ, (off, jnp.int32(0)))
-        T = jnp.einsum("ij,kj->ik", W, VJi, precision=prec)      # W VJ^-T
-        tau = jnp.diagonal(T)
-        R_house = s[:, None] * Rpos
-        col = jax.lax.broadcasted_iota(jnp.int32, (m, nb), 1)
-
-        # --- packed assembly: panel above off, R in rows J, V tails below ---
-        R_placed = jax.lax.dynamic_update_slice(
-            jnp.zeros((m, nb), dtype), R_house, (off, jnp.int32(0)))
-        d = off + col
-        packed = jnp.where(r_iota < off, panel,
-                           jnp.where(r_iota <= d, R_placed, V))
+        # Householder reconstruction: all small quantities come from the
+        # nb x nb diagonal block of Q; the only full-height work is ONE GEMM
+        # (V = -Q (S Wi) with the rows-J correction).
+        packed, tau, T, _ = _hr_construct(Q, Rpos, panel, off, prec)
         return packed, tau, T, emax
 
     def householder_fallback(X):
@@ -206,16 +221,37 @@ def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
             lambda M: (lambda L, U, Li, Ui: jnp.einsum(
                 "ij,jk->ik", Ui, Li, precision=prec))(*lu_with_inv(M, prec)),
             M)
-        T = N.T
-        tau = jnp.diagonal(T)
-        R_house = s[:, None] * Rpos
-        VJ = QJ - jnp.diag(s)
 
-        R_placed = jax.lax.dynamic_update_slice(
-            jnp.zeros((m, nb), dtype), jnp.triu(R_house),
-            (off, jnp.int32(0)))
-        packed = jnp.where(r_iota < off, panel,
-                           jnp.where(r_iota < off + nb, R_placed, Q))
+        def bk_assemble(_):
+            T = N.T
+            tau = jnp.diagonal(T)
+            R_house = s[:, None] * Rpos
+            VJ = QJ - jnp.diag(s)
+            R_placed = jax.lax.dynamic_update_slice(
+                jnp.zeros((m, nb), dtype), jnp.triu(R_house),
+                (off, jnp.int32(0)))
+            packed = jnp.where(r_iota < off, panel,
+                               jnp.where(r_iota < off + nb, R_placed, Q))
+            return packed, tau, T, VJ
+
+        # A-posteriori certificate for the basis-kernel representation.
+        # H = I - Y N^ Y^T deviates from orthogonality by
+        # <= 16 ||N||^2 ||I - M N^||  (first order in Delta N), and kappa(M)
+        # is UNBOUNDED for near-square live panels (spec(S Q_J) approaches
+        # the unit circle's +1) regardless of cond(X) -- observed: the final
+        # 256x256-live panel of a square Gaussian yields ||H^T H - I|| = 1.65
+        # while emax = 1.8e-3 sails under every other gate.  When the
+        # certificate fails, rebuild the panel via the provably-stable
+        # Householder reconstruction, reusing this CholeskyQR2's Q/Rpos.
+        errN = jnp.max(jnp.abs(
+            jnp.eye(nb, dtype=dtype)
+            - jnp.einsum("ij,jk->ik", M, N, precision=prec)))
+        nrmN = jnp.max(jnp.abs(N))
+        cert = nrmN * nrmN * errN
+        bad_m = ~(cert <= 100 * jnp.finfo(dtype).eps)   # NaN-safe: NaN -> HR
+        packed, tau, T, VJ = jax.lax.cond(
+            bad_m, lambda _: _hr_construct(Q, Rpos, panel, off, prec),
+            bk_assemble, None)
         return packed, tau, T, VJ, emax
 
     def householder_fallback(X):

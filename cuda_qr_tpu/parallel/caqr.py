@@ -59,21 +59,23 @@ class CAQRFactors(NamedTuple):
 
 
 class CAQRFactorsBK(NamedTuple):
-    """Two-level CAQR factors with the tree Q in basis-kernel form.
+    """Two-level CAQR factors with the tree Q in compact kernel form.
 
-    The per-panel tree transform is G = I - Y N Y^T (orthogonal, Yamamoto's
-    basis-kernel representation) with Y_i = M_i S - delta_{i,owner} I held
-    shard-locally -- applying G(^T) costs one psum(nb x w) instead of
-    gathering P*nb x w strips.
+    The per-panel tree transform is G = I - Y N Y^T (orthogonal) with the
+    Y_i column blocks held shard-locally -- applying G(^T) costs one
+    psum(nb x w) instead of gathering P*nb x w strips.  The (Y, N) pair is
+    built by Householder reconstruction on the stacked orthonormal map M
+    (_bk_combine): Y = (E_owner - M S) Wi is unit-lower at the owner block
+    and N is the compact-WY T factor.
 
     local_packed: (m, n)         row-sharded leaf V/R
     local_taus:   (P, k, nb)
     local_Ts:     (P, k, nb, nb)
-    Ys:           (P, k, nb, nb) Y_i = M_i S - delta_{i,owner} I per shard
+    Ys:           (P, k, nb, nb) Y_i = ((E_owner - M S) Wi)_i per shard
                                  (M = orthonormal map stacked_R = M R_final),
                                  leading axis sharded
-    signs:        (k, nb)        per-panel Yamamoto sign vector S (replicated)
-    Ns:           (k, nb, nb)    per-panel kernel N = (I - (M_J S)^T)^{-1}
+    signs:        (k, nb)        per-panel sign vector S (replicated)
+    Ns:           (k, nb, nb)    per-panel compact-WY T with G = I - Y N Y^T
     """
     local_packed: jnp.ndarray
     local_taus: jnp.ndarray
@@ -141,17 +143,17 @@ def cyclic_permutation(m: int, nb: int, P_: int):
 
 
 def _bk_combine(Rl, i, owner, P_, prec, dtype):
-    """Basis-kernel tree combine of the per-shard leaf R blocks.
+    """Compact-kernel tree combine of the per-shard leaf R blocks.
 
-    Returns (Y_i, N, s, Rfin): the shard-local basis-kernel column block
-    Y_i = M_i S - delta_{i,owner} I, the replicated nb x nb kernel
-    N = (I - (M_J S)^T)^{-1}, the Yamamoto sign vector s, and the combined
-    panel R.  M (stacked over shards) is the orthonormal map
+    Returns (Y_i, N, s, Rfin): the shard-local kernel column block, the
+    replicated nb x nb compact-WY factor N, the sign vector s, and the
+    combined panel R.  M (stacked over shards) is the orthonormal map
     stacked_R = M Rfin, computed by CholeskyQR2 on the psum'd Gram of the
     R blocks (two nb x nb collectives); the tree transform is then the
-    orthogonal G = I - Y N Y^T with G E_owner S = M (Yamamoto's basis-kernel
-    form), so applying it to trailing strips needs ONE psum(nb x w) -- no
-    P*nb x w gather and no P-fold redundant stacked QR.  Cholesky breakdown
+    orthogonal G = I - Y N Y^T with G E_owner S = M, built by Householder
+    reconstruction on M (see the kernel-construction comment below), so
+    applying it to trailing strips needs ONE psum(nb x w) -- no P*nb x w
+    gather and no P-fold redundant stacked QR.  Cholesky breakdown
     (cond^2(panel) * eps >~ 1) falls back to an explicit stacked Householder
     QR for M under lax.cond (the predicate is shard-uniform: it derives
     from the psum'd Gram).
@@ -204,16 +206,29 @@ def _bk_combine(Rl, i, owner, P_, prec, dtype):
 
     M_i, Rfin = jax.lax.cond(bad, hh_branch, chol_branch, Rl)
 
-    # Yamamoto kernel from the owner's M block (gathered: all shards need it)
+    # Tree kernel from the owner's M block (gathered: all shards need it).
+    # Householder-reconstruction form (Ballard et al., IPDPS 2014), NOT the
+    # raw Yamamoto kernel N = (I - S M_J)^{-1}: when the owner block
+    # dominates the stack (late panels, mass concentrated on one shard),
+    # M_J approaches a full orthogonal matrix and spec(S M_J) approaches
+    # the unit circle's +1, making that inverse arbitrarily ill-conditioned
+    # REGARDLESS of the panel's own conditioning -- the same failure mode
+    # fixed by the certificate gate in ops/fast_panel.py.  The HR form's LU
+    # is of Y_J = I - M_J S with |diag| >= 1 (proven growth bound) and
+    # costs the same single lu_with_inv.  Contract unchanged:
+    # G = I - Y T Y^T is orthogonal with G E_owner S = M.
     Mg = jax.lax.all_gather(M_i, ROW_AXIS)                 # (P, nb, nb)
     MJ = Mg[owner]
     s = jnp.where(jnp.diagonal(MJ) >= 0, -1, 1).astype(dtype)
-    BJ = MJ * s[None, :]
-    L, U, Li, Ui = lu_with_inv(eye - BJ.T, prec)
-    N = jnp.einsum("ij,jk->ik", Ui, Li, precision=prec)    # (I - BJ^T)^{-1}
+    YJ = eye - MJ * s[None, :]
+    VJl, W, VJi, Wi = lu_with_inv(YJ, prec)
+    T2 = jnp.einsum("ij,kj->ik", W, VJi, precision=prec)   # W VJ^-T
     is_owner = (i == owner)
-    Y_i = M_i * s[None, :] - jnp.where(is_owner, 1.0, 0.0).astype(dtype) * eye
-    return Y_i, N, s, Rfin
+    # Y_i = ((E_J - M S) Wi)_i  (unit-lower at the owner block)
+    EmMS = (jnp.where(is_owner, 1.0, 0.0).astype(dtype) * eye
+            - M_i * s[None, :])
+    Y_i = jnp.einsum("ij,jk->ik", EmMS, Wi, precision=prec)
+    return Y_i, T2, s, Rfin
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "layout", "combine"))

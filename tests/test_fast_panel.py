@@ -132,6 +132,36 @@ def test_illconditioned_panel_gate(rng, method):
     assert chk.residual < 100 * nb * chk.eps, chk
 
 
+def test_bk_square_panel_kernel_certificate(rng):
+    """SQUARE live blocks are the basis kernel's blind spot: Q_J is then a
+    full orthogonal matrix, spec(S Q_J) can approach +1, and
+    M = I - S Q_J becomes arbitrarily ill-conditioned regardless of
+    cond(X) -- the failure mode behind the 8192^2 nb=256 corruption
+    (per-panel ||H^T H - I|| = 1.65 with emax only 1.8e-3, silent under
+    every finiteness check).  The a-posteriori certificate
+    ||N||^2 ||I - M N|| > 100 eps must route such panels to the
+    Householder-reconstruction fallback, keeping the panel reflector
+    orthogonal.  Verified post-fix: H_orth ~ 4e-05 (was up to ~1).
+    """
+    from cuda_qr_tpu.ops.fast_panel import panel_factor_cholqr2bk
+    from cuda_qr_tpu.ops.householder import panel_v
+
+    m, nb = 512, 256
+    off = 256
+    A = np.zeros((m, nb), np.float32)
+    A[off:] = rng.standard_normal((nb, nb)).astype(np.float32)
+    cfg = QRConfig(dtype=jnp.float32, panel_width=nb, scan_stages=1)
+    packed, tau, T, VJ = panel_factor_cholqr2bk(jnp.asarray(A), off, cfg)
+    V = np.asarray(panel_v(packed, off, VJ), np.float64)
+    Tn = np.asarray(T, np.float64)
+    H = np.eye(m) - V @ Tn @ V.T
+    assert np.linalg.norm(H.T @ H - np.eye(m)) < 1e-3
+    R = np.triu(np.asarray(packed, np.float64)[off:])
+    rerr = (np.linalg.norm(H.T @ A - np.vstack([np.zeros((off, nb)), R]))
+            / np.linalg.norm(A))
+    assert rerr < 1e-4
+
+
 def test_blocked_qr_nb256(rng):
     """Wide panels (the measured-fastest 8192^2 TPU config, docs/PERF.md):
     nb=256 through the bk panel + 256-wide Pallas chol kernel path."""
