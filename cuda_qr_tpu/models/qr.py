@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from ..ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
 from ..utils.config import DEFAULT_CONFIG, QRConfig
+from ..utils.hostio import to_device
 
 
 class QRResult:
@@ -40,7 +41,7 @@ class QRResult:
 
 
 def qr_factor(A, config: QRConfig = DEFAULT_CONFIG) -> QRResult:
-    A = jnp.asarray(A)
+    A = to_device(A)  # complex host input must not cross the wire raw
     m, n = A.shape
     return QRResult(qr_blocked(A, config), m, n, config)
 
@@ -121,7 +122,7 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     mode='complete': (Q (m x m), R (m x n)).
     mode='r': R only.
     """
-    A = jnp.asarray(A)
+    A = to_device(A)
     if A.ndim > 2:  # leading batch dims via vmap, honoring the requested mode
         batch = A.shape[:-2]
         flat = A.reshape((-1,) + A.shape[-2:])
@@ -134,8 +135,11 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
     m, n = A.shape
     k = min(m, n)
     if m >= n:
-        if mode == "reduced":
+        if mode == "reduced" and not jnp.iscomplexobj(A):
             return _qr_diff(A, config)  # differentiable (custom VJP)
+        if mode == "reduced":
+            res = qr_factor(A, config)  # complex: VJP formula is real-only
+            return res.Q, res.R
         res = qr_factor(A, config)
         if mode == "r":
             return res.R
@@ -147,7 +151,7 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
         return res.Q, res.R
     # wide: A = [A1 | A2], A1 = Q R11, R12 = Q^T A2
     res = qr_factor(A[:, :m], config)
-    R12 = res.apply_qt(A[:, m:].astype(config.dtype))[:m]
+    R12 = res.apply_qt(A[:, m:].astype(res.factors.packed.dtype))[:m]
     R = jnp.concatenate([res.R, R12], axis=1)
     if mode == "r":
         return R

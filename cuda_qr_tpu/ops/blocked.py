@@ -30,8 +30,8 @@ import jax.numpy as jnp
 
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 from ..utils.geometry import round_up
-from .householder import (geqr2, larfb, larft, merge_wy, panel_v, unit_vj,
-                          unpack_r, unpack_v)
+from .householder import (_einsum, _h, geqr2, larfb, larft, merge_wy,
+                          panel_v, unit_vj, unpack_r, unpack_v)
 
 
 def _merge_group(Vs, Ts, prec):
@@ -227,9 +227,9 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
                     blocks[ll] = rest[:, (ll - l - 1) * nb:(ll - l) * nb]
         V, T = _merge_group(Vs, Tl, prec)
         end = (i0 + g) * nb
-        W = jnp.einsum("ri,rj->ij", V, A, precision=prec)       # V^T A
-        W = jnp.einsum("ij,ik->jk", T, W, precision=prec)       # T^T (V^T A)
-        U = jnp.einsum("ri,ij->rj", V, W, precision=prec)       # V (...)
+        W = _einsum("ri,rj->ij", _h(V), A, precision=prec)      # V^H A
+        W = _einsum("ij,ik->jk", _h(T), W, precision=prec)      # T^H (V^H A)
+        U = _einsum("ri,ij->rj", V, W, precision=prec)          # V (...)
         A = A - jnp.where(cmask_iota >= end, U, 0).astype(A.dtype)
         return A, Ps, taus, Ts, VJs
 
@@ -287,6 +287,12 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     if m < n:
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"qr_blocked requires m >= n, got {m}x{n}")
+    if jnp.iscomplexobj(A):
+        # Complex QR (LAPACK cgeqrf semantics): the Householder core
+        # (geqr2/larft/larfb) is Hermitian-transpose aware; the CholeskyQR2
+        # and Pallas fast paths are real-only, so route panels to geqr2.
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False)
     nb = config.panel_width
     A = _pad(A.astype(config.dtype), nb)
     m_pad, n_pad = A.shape

@@ -39,6 +39,40 @@ def _row_iota(m: int, dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, (m, 1), 0)[:, 0]
 
 
+def _h(x: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise conjugate -- identity (and free) for real dtypes.
+
+    Every "V^T" in the real-arithmetic comments below is implemented as
+    einsum over ``_h(V)`` so the same code paths compute the Hermitian
+    transpose for complex inputs (LAPACK c/zgeqr2 conventions)."""
+    return jnp.conj(x) if jnp.iscomplexobj(x) else x
+
+
+def _einsum(spec: str, x: jnp.ndarray, y: jnp.ndarray,
+            precision: Precision) -> jnp.ndarray:
+    """Two-operand einsum that lowers complex contractions to real ones.
+
+    The MXU has no complex datapath, and the TPU backend's builtin complex
+    dot_general lowering is unreliable (measured: UNIMPLEMENTED whenever an
+    operand is an HLO constant, e.g. the jnp.eye that seeds orgqr's Q).
+    Lowering to four real contractions here -- (xr yr - xi yi) +
+    i (xr yi + xi yr) -- keeps every GEMM on the native real MXU path at
+    full ``precision``.  (The 3-multiply Karatsuba form would save one GEMM
+    at the cost of a cancellation term; complex is a capability path, so the
+    numerically tighter 4-GEMM form wins.)  Real inputs pass straight
+    through with zero overhead.
+    """
+    if not (jnp.iscomplexobj(x) or jnp.iscomplexobj(y)):
+        return jnp.einsum(spec, x, y, precision=precision)
+    xr, xi = jnp.real(x), jnp.imag(x)
+    yr, yi = jnp.real(y), jnp.imag(y)
+    re = (jnp.einsum(spec, xr, yr, precision=precision)
+          - jnp.einsum(spec, xi, yi, precision=precision))
+    im = (jnp.einsum(spec, xr, yi, precision=precision)
+          + jnp.einsum(spec, xi, yr, precision=precision))
+    return jax.lax.complex(re, im)
+
+
 def make_reflector(col: jnp.ndarray, d) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Householder reflector for rows >= d of ``col``.
 
@@ -48,12 +82,18 @@ def make_reflector(col: jnp.ndarray, d) -> tuple[jnp.ndarray, jnp.ndarray, jnp.n
     Returns:
       (v, tau, beta): full-length v with v[d] == 1 and zeros above d,
       scalar tau, scalar beta (the new diagonal entry -sign*||x||).
+
+    Complex inputs follow LAPACK clarfg: beta = -sign(Re x0) * ||x|| is kept
+    real, tau = (beta - x0) / beta is complex, v = tail / (x0 - beta), and
+    H = I - tau v v^H satisfies H^H x = beta e_d.
     """
     m = col.shape[0]
     r = _row_iota(m)
     below = r > d
     x0 = jax.lax.dynamic_index_in_dim(col, d, keepdims=False)
     tail = jnp.where(below, col, 0)
+    if jnp.iscomplexobj(col):
+        return _make_reflector_complex(col, r, d, below, x0, tail)
 
     # Scaled norm: ||x|| = s * ||x/s||, s = max|x_i| (overflow guard).
     scale = jnp.maximum(jnp.max(jnp.abs(tail)), jnp.abs(x0))
@@ -72,6 +112,28 @@ def make_reflector(col: jnp.ndarray, d) -> tuple[jnp.ndarray, jnp.ndarray, jnp.n
     v = jnp.where(below, col / safe_u, 0)
     v = jnp.where(degenerate, jnp.zeros_like(v), v) + (r == d).astype(col.dtype)
     return v, tau, beta
+
+
+def _make_reflector_complex(col, r, d, below, x0, tail):
+    """clarfg-convention reflector (complex tau, real beta)."""
+    rdt = jnp.finfo(col.dtype).dtype  # matching real dtype
+    scale = jnp.maximum(jnp.max(jnp.abs(tail)), jnp.abs(x0))
+    s = jnp.where(scale > 0, scale, 1).astype(rdt)
+    ts, x0s = tail / s, x0 / s
+    norm = jnp.sqrt(jnp.abs(x0s) ** 2 +
+                    jnp.sum(jnp.real(ts * jnp.conj(ts)))) * s
+    sign = jnp.where(jnp.real(x0) < 0, -1, 1).astype(rdt)
+    beta = -sign * norm                       # real, the stored diagonal
+    # Degenerate: zero tail AND real x0 => H = I (matches clarfg's tau = 0).
+    degenerate = (norm <= 0) | (
+        (jnp.sum(jnp.abs(ts)) <= 0) & (jnp.imag(x0) == 0))
+    safe_beta = jnp.where(degenerate, 1, beta).astype(col.dtype)
+    tau = jnp.where(degenerate, 0, (safe_beta - x0) / safe_beta)
+    denom = jnp.where(degenerate, 1, x0 - safe_beta)
+    v = jnp.where(below, col / denom, 0)
+    v = jnp.where(degenerate, jnp.zeros_like(v), v) + (r == d).astype(col.dtype)
+    out_beta = jnp.where(degenerate, x0, beta.astype(col.dtype))
+    return v, tau, out_beta
 
 
 def geqr2_dyn(A: jnp.ndarray, row_offset,
@@ -112,7 +174,9 @@ def _geqr2_impl(A: jnp.ndarray, row_offset,
         v, tj, beta = make_reflector(col, d)
         # Apply H = I - tau v v^T to all columns, masked to strictly-right
         # ones (left columns are finalized packed V/R and must not move).
-        w = tj * jnp.einsum("i,ij->j", v, A, precision=precision)
+        # Complex: the factorization applies H^H (LAPACK cgeqr2), i.e.
+        # conj(tau) and v^H.
+        w = _h(tj) * _einsum("i,ij->j", _h(v), A, precision=precision)
         cmask = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0] > j)
         A = A - jnp.outer(v, jnp.where(cmask, w, 0))
         # Write packed column j: R above d from earlier reflectors (already
@@ -157,14 +221,15 @@ def larft(V: jnp.ndarray, tau: jnp.ndarray,
     triangular matvecs rather than k tall GEMVs.
     """
     n = V.shape[1]
-    G = jnp.einsum("ij,ik->jk", V, V, precision=precision)  # (n, n)
+    G = _einsum("ij,ik->jk", _h(V), V, precision=precision)  # V^H V
     idx = jnp.arange(n)
 
     def body(j, T):
         tj = jax.lax.dynamic_index_in_dim(tau, j, keepdims=False)
         g = jax.lax.dynamic_slice_in_dim(G, j, 1, axis=1)[:, 0]
         g = jnp.where(idx < j, g, 0)
-        tcol = -tj * (T @ g) + tj * (idx == j).astype(V.dtype)
+        tcol = -tj * _einsum("ij,j->i", T, g, precision=precision) \
+            + tj * (idx == j).astype(V.dtype)
         return jax.lax.dynamic_update_slice_in_dim(T, tcol[:, None], j, axis=1)
 
     return jax.lax.fori_loop(0, n, body, jnp.zeros((n, n), V.dtype))
@@ -208,8 +273,10 @@ def merge_wy(V1: jnp.ndarray, T1: jnp.ndarray, V2: jnp.ndarray,
     block reflector: g x fewer sweeps over B and g*nb-deep MXU GEMMs.
     """
     k1, k2 = T1.shape[0], T2.shape[0]
-    G = jnp.einsum("ij,ik->jk", V1, V2, precision=precision)
-    T12 = -jnp.einsum("ij,jk,kl->il", T1, G, T2, precision=precision)
+    G = _einsum("ij,ik->jk", _h(V1), V2, precision=precision)
+    T12 = -_einsum("ij,jk->ik", T1,
+                   _einsum("ij,jk->ik", G, T2, precision=precision),
+                   precision=precision)
     z = jnp.zeros((k2, k1), T1.dtype)
     return jnp.block([[T1, T12], [z, T2]])
 
@@ -222,10 +289,10 @@ def larfb(B: jnp.ndarray, V: jnp.ndarray, T: jnp.ndarray, transpose: bool = True
     reference's trailing update A <- (I + Y W^T) A (qr.cu:441-462) recast as
     three MXU GEMMs instead of a per-column PR x PR x PC scalar triple loop.
     """
-    W = jnp.einsum("ij,ik->jk", V, B, precision=precision)       # V^T B
-    Tm = T.T if transpose else T
-    W = jnp.einsum("ij,jk->ik", Tm, W, precision=precision)      # T^T (V^T B)
-    return B - jnp.einsum("ij,jk->ik", V, W, precision=precision)
+    W = _einsum("ij,ik->jk", _h(V), B, precision=precision)      # V^H B
+    Tm = _h(T).T if transpose else T                             # T^H or T
+    W = _einsum("ij,jk->ik", Tm, W, precision=precision)
+    return B - _einsum("ij,jk->ik", V, W, precision=precision)
 
 
 def apply_q(B: jnp.ndarray, packed: jnp.ndarray, T: jnp.ndarray,

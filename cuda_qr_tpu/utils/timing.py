@@ -27,9 +27,15 @@ def force(out) -> None:
     transfer bandwidth, not the computation (a 64 MB fetch here costs
     ~600 ms and once masqueraded as '0.4 TFLOP/s' GEMM).
     """
+    import jax.numpy as jnp
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "size") and leaf.size:
-            _ = float(jax.device_get(leaf.ravel()[0]))
+            scalar = leaf.ravel()[0]
+            if jnp.iscomplexobj(scalar):
+                # complex transfers are UNIMPLEMENTED through the axon
+                # tunnel and poison the process (utils/hostio.py)
+                scalar = jnp.real(scalar)
+            _ = float(jax.device_get(scalar))
 
 
 @dataclasses.dataclass

@@ -45,15 +45,22 @@ def check_qr(A, Q, R) -> QRCheck:
     (bf16 passes) would otherwise swamp an fp32-accurate factorization with
     verifier error.  ``eps`` is still the *factorization* dtype's eps.
     """
-    eps = float(jnp.finfo(jnp.asarray(A).dtype).eps)
     import numpy as np
-    A = np.asarray(A, dtype=np.float64)
-    Q = np.asarray(Q, dtype=np.float64)
-    R = np.asarray(R, dtype=np.float64)
+
+    from .hostio import to_host
+    A, Q, R = to_host(A), to_host(Q), to_host(R)
+    # eps of the *factor* dtype, not A's: callers often keep a float64 host
+    # copy of A while factoring in float32 -- the tolerance must track what
+    # the factorization could achieve, and Q's dtype is that by definition.
+    eps = float(jnp.finfo(Q.dtype).eps)
+    wide = np.complex128 if np.iscomplexobj(A) else np.float64
+    A = A.astype(wide)
+    Q = np.asarray(Q).astype(wide)
+    R = np.asarray(R).astype(wide)
     n = A.shape[1]
     anorm = float(np.linalg.norm(A))
     resid = float(np.linalg.norm(A - Q @ R)) / (anorm if anorm > 0 else 1.0)
-    orth = float(np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1])))
+    orth = float(np.linalg.norm(np.conj(Q).T @ Q - np.eye(Q.shape[1])))
     tri = float(np.max(np.abs(np.tril(R, k=-1)))) if R.shape[0] > 1 else 0.0
     return QRCheck(residual=resid, orthogonality=orth, r_triangular=tri,
                    n=n, eps=eps)
