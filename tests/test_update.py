@@ -1,0 +1,121 @@
+"""QR updating (rank-1, row/col insert/delete) against refactorization."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuda_qr_tpu.models.qr import qr
+from cuda_qr_tpu.models.update import (qr_col_delete, qr_col_insert,
+                                       qr_rank1_update, qr_row_delete,
+                                       qr_row_insert)
+
+
+def _check(Q, R, A, tol):
+    m, n = A.shape
+    Q, R, A = map(np.asarray, (Q, R, A))
+    assert Q.shape == (m, min(m, n)) and R.shape == (min(m, n), n)
+    resid = np.linalg.norm(Q @ R - A) / max(np.linalg.norm(A), 1e-30)
+    orth = np.linalg.norm(Q.T @ Q - np.eye(Q.shape[1]))
+    assert resid < tol, f"residual {resid:.3e}"
+    assert orth < tol, f"orthogonality {orth:.3e}"
+    assert np.allclose(R, np.triu(R)), "R not upper triangular"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12)
+
+
+@pytest.mark.parametrize("m,n", [(24, 8), (64, 64), (40, 17)])
+def test_rank1_update(rng, m, n):
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_rank1_update(Q, R, u, v)
+    _check(Q1, R1, A + jnp.outer(u, v), 1e-4)
+
+
+def test_rank1_update_u_in_span(rng):
+    """u already in span(Q): the extension column is dead (rho = 0)."""
+    m, n = 30, 10
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    Q, R = qr(A)
+    u = A @ jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    Q1, R1 = qr_rank1_update(Q, R, u, v)
+    _check(Q1, R1, A + jnp.outer(u, v), 1e-3)
+
+
+@pytest.mark.parametrize("k", [0, 3, 24])
+def test_row_insert(rng, k):
+    m, n = 24, 9
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_row_insert(Q, R, a, k)
+    A1 = jnp.concatenate([A[:k], a[None], A[k:]], axis=0)
+    _check(Q1, R1, A1, 1e-4)
+
+
+def test_row_insert_default_appends(rng):
+    m, n = 16, 5
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_row_insert(Q, R, a)
+    _check(Q1, R1, jnp.concatenate([A, a[None]]), 1e-4)
+
+
+@pytest.mark.parametrize("k", [0, 7, 23])
+def test_row_delete(rng, k):
+    m, n = 24, 9
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_row_delete(Q, R, k)
+    A1 = jnp.concatenate([A[:k], A[k + 1:]], axis=0)
+    _check(Q1, R1, A1, 1e-3)
+
+
+def test_row_delete_square_rejected(rng):
+    A = jnp.asarray(rng.standard_normal((8, 8)), jnp.float32)
+    Q, R = qr(A)
+    with pytest.raises(ValueError):
+        qr_row_delete(Q, R, 0)
+
+
+@pytest.mark.parametrize("k", [0, 4, 9])
+def test_col_insert(rng, k):
+    m, n = 24, 9
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((m,)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_col_insert(Q, R, a, k)
+    A1 = jnp.concatenate([A[:, :k], a[:, None], A[:, k:]], axis=1)
+    _check(Q1, R1, A1, 1e-4)
+
+
+@pytest.mark.parametrize("k", [0, 4, 8])
+def test_col_delete(rng, k):
+    m, n = 24, 9
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    Q, R = qr(A)
+    Q1, R1 = qr_col_delete(Q, R, k)
+    A1 = jnp.concatenate([A[:, :k], A[:, k + 1:]], axis=1)
+    _check(Q1, R1, A1, 1e-4)
+
+
+def test_update_chain(rng):
+    """Long mixed chain of updates stays accurate (error accumulation)."""
+    m, n = 32, 8
+    A = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    Q, R = qr(A)
+    for _ in range(5):
+        u = jnp.asarray(rng.standard_normal((A.shape[0],)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((A.shape[1],)), jnp.float32)
+        A = A + jnp.outer(u, v)
+        Q, R = qr_rank1_update(Q, R, u, v)
+        a = jnp.asarray(rng.standard_normal((A.shape[1],)), jnp.float32)
+        A = jnp.concatenate([A, a[None]], axis=0)
+        Q, R = qr_row_insert(Q, R, a)
+    _check(Q, R, A, 1e-3)
