@@ -7,16 +7,20 @@ kernels for the panel factorization; runtime verification against a native
 C99 oracle implementing the reference's sliding-panel algorithm.
 """
 
+from .models.batched import qr_batched
 from .models.caqr import caqr, caqr_r
 from .models.lstsq import LstsqResult, lstsq, solve
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
 from .models.tsqr import tsqr, tsqr_r
+from .models.update import (qr_col_delete, qr_col_insert, qr_rank1_update,
+                            qr_row_delete, qr_row_insert, qr_update)
 from .ops.blocked import PackedQR, extract_r, orgqr, ormqr, qr_blocked
 from .ops.householder import geqr2, larfb, larft, make_reflector, unpack_r, unpack_v
 from .parallel.mesh import row_mesh, row_sharding
 from .parallel.tsqr_dist import tsqr_dist
-from .utils.config import DEFAULT_CONFIG, QRConfig
+from .utils.config import DEFAULT_CONFIG, MIXED_CONFIG, QRConfig
 from .utils.errors import QRError, QRNumericalError, QRShapeError
+from .utils.hostio import to_device, to_host
 from .utils.verify import QRCheck, check_qr
 
 __version__ = "0.2.0"
@@ -24,7 +28,10 @@ __version__ = "0.2.0"
 __all__ = [
     "qr", "qr_factor", "qr_pivoted", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
     "extract_r", "geqr2", "larfb", "larft", "make_reflector", "unpack_r",
-    "unpack_v", "QRConfig", "DEFAULT_CONFIG", "QRCheck", "check_qr",
+    "unpack_v", "QRConfig", "DEFAULT_CONFIG", "MIXED_CONFIG", "QRCheck",
+    "check_qr", "qr_batched", "qr_update", "qr_rank1_update", "qr_row_insert",
+    "qr_row_delete", "qr_col_insert", "qr_col_delete",
     "tsqr", "tsqr_r", "tsqr_dist", "caqr", "caqr_r", "lstsq", "solve", "LstsqResult",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
+    "to_device", "to_host",
 ]

@@ -144,3 +144,15 @@ class QRConfig:
 
 
 DEFAULT_CONFIG = QRConfig()
+
+# Mixed-precision preset (ROADMAP r2 item 4): the two GEMM-dominated phases
+# (trailing update, orgqr/ormqr sweeps) run at HIGH -- 3-pass bf16 MXU
+# emulation, ~2x the HIGHEST matmul throughput -- while panel factorization
+# stays at HIGHEST, which bounds V/T quality and hence Q's orthogonality.
+# Use for throughput-critical factorizations where some residual headroom
+# under the n*eps acceptance bound is acceptable; measured numbers live in
+# docs/PERF.md.
+MIXED_CONFIG = QRConfig(
+    trailing_precision=jax.lax.Precision.HIGH,
+    orgqr_precision=jax.lax.Precision.HIGH,
+)
