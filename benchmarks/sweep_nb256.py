@@ -1,0 +1,79 @@
+"""Panel-width sweep for the 8192^2 fp32 headline: nb=128/s16 vs nb=256/s8.
+
+ROADMAP r3 item 1: decide whether nb=256 becomes the headline bench config.
+Measures factor-only and factor+explicit-Q (the honest, XLA-comparable
+number) plus host-f64 residual/orthogonality for each config.
+"""
+
+import json
+import sys
+
+
+def main():
+    from cuda_qr_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_qr_tpu.ops.blocked import extract_r, orgqr, qr_blocked
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+
+    m = n = 8192
+    if jax.default_backend() != "tpu":
+        print("needs the real TPU", file=sys.stderr)
+        return 1
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    H = jax.lax.Precision.HIGHEST
+
+    configs = {
+        "nb128_s16": QRConfig(dtype=jnp.float32, scan_stages=16),
+        "nb256_s8": QRConfig(dtype=jnp.float32, panel_width=256,
+                             scan_stages=8),
+        "nb256_s8_agg8": QRConfig(dtype=jnp.float32, panel_width=256,
+                                  scan_stages=8, apply_aggregate=8),
+        "nb256_s4": QRConfig(dtype=jnp.float32, panel_width=256,
+                             scan_stages=4),
+    }
+    if len(sys.argv) > 1:
+        configs = {k: v for k, v in configs.items() if k in sys.argv[1:]}
+
+    for name, cfg in configs.items():
+        r = bench(lambda a, c=cfg: qr_blocked(a, c), A, reps=3,
+                  flops=qr_flops(m, n))
+
+        @jax.jit
+        def qr_full(a, c=cfg):
+            fac = qr_blocked(a, c)
+            return orgqr(fac, m, n, c), extract_r(fac, n)
+
+        rq = bench(qr_full, A, reps=3)
+
+        @jax.jit
+        def residuals(a, c=cfg):
+            Q, R = qr_full(a, c)
+            resid = jnp.linalg.norm(
+                jnp.einsum("ij,jk->ik", Q, R, precision=H) - a
+            ) / jnp.linalg.norm(a)
+            orth = jnp.linalg.norm(
+                jnp.einsum("ij,ik->jk", Q, Q, precision=H)
+                - jnp.eye(n, dtype=a.dtype))
+            return resid, orth
+
+        resid, orth = (float(x) for x in residuals(A))
+        print(json.dumps({
+            "config": name, "factor_ms": round(r.steady_s * 1e3, 1),
+            "gflops": round(r.gflops, 0),
+            "q_plus_r_ms": round(rq.steady_s * 1e3, 1),
+            "residual": float(f"{resid:.3e}"),
+            "orthogonality": float(f"{orth:.3e}"),
+            "compile_s": round(r.compile_s + rq.compile_s, 1),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

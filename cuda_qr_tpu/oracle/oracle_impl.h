@@ -169,7 +169,7 @@ int FN(explicit_qr_)(const SCALAR* A, const SCALAR* tau, SCALAR* Q, SCALAR* R,
 
   SCALAR* v = malloc((size_t)m * sizeof(SCALAR));
   SCALAR* qv = malloc((size_t)m * sizeof(SCALAR));
-  if (!v || !qv) return -2;
+  if (!v || !qv) { free(v); free(qv); return -2; }
 
   int pci = 0;
   for (int pcol = 0; pcol < n; pcol += pc_w, pci++) {
