@@ -99,3 +99,22 @@ def test_complex_vs_numpy_r(rng):
     _, R = qr(A)
     Rn = np.linalg.qr(np.asarray(A), mode="r")
     assert np.allclose(np.abs(np.asarray(R)), np.abs(Rn), atol=1e-4)
+
+
+def test_complex_lstsq(rng):
+    from cuda_qr_tpu.models.lstsq import lstsq
+    A = _crand(rng, 40, 12)
+    x_true = np.asarray(_crand(rng, 12, 3))
+    b = np.asarray(A) @ x_true
+    res = lstsq(A, jnp.asarray(b))
+    assert np.linalg.norm(np.asarray(res.x) - x_true) < 1e-3
+    assert np.all(np.asarray(res.residual_norm) < 1e-3)
+
+
+def test_complex128(rng):
+    import jax
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64")
+    A = jnp.asarray(np.asarray(_crand(rng, 30, 14), np.complex128))
+    Q, R = qr(A)
+    _check(Q, R, A, 1e-12)
