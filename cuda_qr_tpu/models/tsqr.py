@@ -102,6 +102,15 @@ def _batched_orgqr(packed: jnp.ndarray, T: jnp.ndarray, precision):
                                           precision=precision))(eye, V, T)
 
 
+def _complex_config(A: jnp.ndarray, config: QRConfig) -> QRConfig:
+    """Complex input keeps its dtype and uses Householder leaves: the
+    CholeskyQR2 Gram einsums are real-only (same routing as qr_blocked)."""
+    if jnp.iscomplexobj(A):
+        return config.replace(dtype=A.dtype, tsqr_leaf="householder",
+                              use_pallas=False, use_chol_kernel=False)
+    return config
+
+
 def _pad_rows(A: jnp.ndarray, rows: int) -> jnp.ndarray:
     m = A.shape[0]
     return A if m == rows else jnp.pad(A, ((0, rows - m), (0, 0)))
@@ -169,6 +178,7 @@ def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
     reference's convention-free verification (it only checks ||QR - A||).
     """
     m, n = A.shape
+    config = _complex_config(A, config)
     A = A.astype(config.dtype)
     prec = config.precision
 
@@ -249,6 +259,7 @@ def tsqr_r(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> jnp.ndarray:
 
 def _tsqr_r_impl(A, config):
     m, n = A.shape
+    config = _complex_config(A, config)
     A = A.astype(config.dtype)
     prec = config.precision
     b = max(config.block_rows, 2 * n)

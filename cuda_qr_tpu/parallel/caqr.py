@@ -259,6 +259,11 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
                            f"n<=m; got m={m} n={n} P={P_} nb={nb}")
     if combine not in ("bk", "allgather"):
         raise ValueError(f"unknown combine {combine!r}")
+    if jnp.iscomplexobj(A):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(
+            "caqr is real-only (CholeskyQR2/basis-kernel combines take real "
+            "Grams); factor complex matrices with qr() or tsqr()")
     k = n // nb
     prec = config.precision
     A = A.astype(config.dtype)

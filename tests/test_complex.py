@@ -118,3 +118,30 @@ def test_complex128(rng):
     A = jnp.asarray(np.asarray(_crand(rng, 30, 14), np.complex128))
     Q, R = qr(A)
     _check(Q, R, A, 1e-12)
+
+
+def test_complex_tsqr(rng):
+    from cuda_qr_tpu.models.tsqr import tsqr, tsqr_r
+    A = _crand(rng, 4096, 32)
+    cfg = QRConfig(block_rows=512, use_pallas=False)
+    Q, R = tsqr(A, cfg)
+    _check(Q, R, A, 1e-4)
+    # tsqr_r matches tsqr's R up to per-column reflector sign/phase
+    R2 = tsqr_r(A, cfg)
+    assert np.allclose(np.abs(np.asarray(R2)), np.abs(np.asarray(R)),
+                       atol=1e-4)
+    # cholqr2 leaf config must also route complex to Householder, not crash
+    Q3, R3 = tsqr(A, cfg.replace(tsqr_leaf="cholqr2"))
+    _check(Q3, R3, A, 1e-4)
+
+
+def test_complex_caqr_rejected(rng):
+    import jax
+    from cuda_qr_tpu.parallel.caqr import caqr_factor
+    from cuda_qr_tpu.parallel.mesh import row_mesh
+    from cuda_qr_tpu.utils.errors import QRShapeError
+    mesh = row_mesh(min(8, len(jax.devices())))
+    P = mesh.shape["rows"]
+    A = _crand(rng, P * 16, 16)
+    with pytest.raises(QRShapeError, match="real-only"):
+        caqr_factor(A, mesh, QRConfig(panel_width=16, use_pallas=False))
