@@ -110,13 +110,18 @@ def main():
 
 
 if __name__ == "__main__":
-    # The axon remote-compile tunnel occasionally drops a response mid-read;
-    # a retry compiles from its warm cache and succeeds in seconds.
-    for attempt in range(3):
+    # The axon remote-compile tunnel occasionally drops a response mid-read
+    # (a retry compiles from its warm cache and succeeds in seconds) and
+    # goes UNAVAILABLE for multi-minute stretches (it recovers on its own)
+    # -- so back off between attempts instead of failing fast.
+    import time
+    for attempt in range(5):
         try:
             sys.exit(main())
         except Exception as e:  # noqa: BLE001 - last attempt re-raises
-            if attempt == 2:
+            if attempt == 4:
                 raise
-            print(f"# bench attempt {attempt + 1} failed ({e!r}); retrying",
-                  file=sys.stderr)
+            wait = 30 * (attempt + 1)
+            print(f"# bench attempt {attempt + 1} failed ({e!r}); "
+                  f"retrying in {wait}s", file=sys.stderr)
+            time.sleep(wait)
