@@ -96,7 +96,12 @@ def qr_pivoted(A, config: QRConfig = DEFAULT_CONFIG, rank: int | None = None,
     """
     from ..ops.qrcp import qrcp_blocked
     from ..utils.geometry import round_up
-    A = jnp.asarray(A)
+    A = to_device(A)
+    if jnp.iscomplexobj(A):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(
+            "qr_pivoted is real-only (the randomized sketch / pivot "
+            "selection kernels take real Grams); use qr() for complex")
     m, n = A.shape
     nb = config.panel_width
     num_panels = None

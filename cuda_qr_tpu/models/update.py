@@ -14,9 +14,10 @@ both paths are exact, so callers can choose by measurement.
 
 All functions are jit-compatible and differentiable (pure jnp ops), take and
 return *explicit* thin factors (Q: m x n orthonormal columns, R: n x n upper
-triangular), and preserve dtype.  Real dtypes only: the Givens chains use
-real rotations (``jnp.hypot`` rejects complex operands at trace time);
-complex updating would need an extra phase factor per rotation.
+triangular), and preserve dtype.  Complex factors are supported: rotations
+follow the LAPACK clartg convention G = [[c, -s], [conj(s), c]] with real c,
+applied as M <- G M / Q <- Q G^H, and ``qr_rank1_update`` computes
+A + u v^H (scipy.linalg.qr_update's convention; v^H == v^T for real).
 """
 
 from __future__ import annotations
@@ -26,32 +27,49 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops.householder import _h
+
 Precision = jax.lax.Precision
 
 
 def _givens(a, b):
-    """(c, s, r) with [[c, -s], [s, c]] @ [a, b] = [r, 0], r >= 0 safe at 0."""
-    r = jnp.hypot(a, b)
-    safe = r > 0
-    rs = jnp.where(safe, r, 1)
-    c = jnp.where(safe, a / rs, 1)
-    s = jnp.where(safe, -b / rs, 0)
-    return c, s, jnp.where(safe, r, a)
+    """(c, s, r) annihilating b into a: G @ [a, b] = [r, 0] for the unitary
+    G = [[c, -s], [conj(s), c]] (c real).  Safe at a = b = 0.
+
+    Real inputs keep the historical convention c = a/r, s = -b/r, r >= 0;
+    complex follows clartg: c = |a|/h, s = -(a/|a|) conj(b)/h, r = (a/|a|) h
+    with h = sqrt(|a|^2 + |b|^2) -- r carries a's phase.
+    """
+    if not (jnp.iscomplexobj(a) or jnp.iscomplexobj(b)):
+        r = jnp.hypot(a, b)
+        safe = r > 0
+        rs = jnp.where(safe, r, 1)
+        c = jnp.where(safe, a / rs, 1)
+        s = jnp.where(safe, -b / rs, 0)
+        return c, s, jnp.where(safe, r, a)
+    absa = jnp.abs(a)
+    h = jnp.sqrt(absa * absa + jnp.abs(b) ** 2)
+    safe = h > 0
+    hs = jnp.where(safe, h, 1)
+    siga = jnp.where(absa > 0, a / jnp.where(absa > 0, absa, 1), 1)
+    c = jnp.where(safe, absa / hs, 1)          # real
+    s = jnp.where(safe, -siga * jnp.conj(b) / hs, 0)
+    return c, s, jnp.where(safe, siga * h, a)
 
 
 def _rot_rows(M, i, j, c, s):
-    """Left-apply the rotation to rows (i, j) of M (i, j may be traced)."""
+    """Left-apply G to rows (i, j) of M (i, j may be traced)."""
     ri = jax.lax.dynamic_slice_in_dim(M, i, 1, 0)
     rj = jax.lax.dynamic_slice_in_dim(M, j, 1, 0)
     M = jax.lax.dynamic_update_slice_in_dim(M, c * ri - s * rj, i, 0)
-    return jax.lax.dynamic_update_slice_in_dim(M, s * ri + c * rj, j, 0)
+    return jax.lax.dynamic_update_slice_in_dim(M, _h(s) * ri + c * rj, j, 0)
 
 
 def _rot_cols(Q, i, j, c, s):
-    """Right-apply (Q <- Q G^T) to columns (i, j) of Q."""
+    """Right-apply (Q <- Q G^H) to columns (i, j) of Q."""
     qi = jax.lax.dynamic_slice_in_dim(Q, i, 1, 1)
     qj = jax.lax.dynamic_slice_in_dim(Q, j, 1, 1)
-    Q = jax.lax.dynamic_update_slice_in_dim(Q, c * qi - s * qj, i, 1)
+    Q = jax.lax.dynamic_update_slice_in_dim(Q, c * qi - _h(s) * qj, i, 1)
     return jax.lax.dynamic_update_slice_in_dim(Q, s * qi + c * qj, j, 1)
 
 
@@ -60,10 +78,10 @@ def _at(v, i):
 
 
 def _orthogonal_complement(Q, u, precision):
-    """(w, Q^T u, ||residual||): w is the unit residual of u against span(Q)
+    """(w, Q^H u, ||residual||): w is the unit residual of u against span(Q)
     (zero when u already lies in the span -- the chains below then never mix
     the dead column in, because its Givens weight is zero)."""
-    w = jnp.einsum("ij,i->j", Q, u, precision=precision)
+    w = jnp.einsum("ij,i->j", _h(Q), u, precision=precision)
     r = u - jnp.einsum("ij,j->i", Q, w, precision=precision)
     rho = jnp.linalg.norm(r)
     safe = rho > 0
@@ -75,19 +93,20 @@ def _orthogonal_complement(Q, u, precision):
 def qr_rank1_update(Q: jnp.ndarray, R: jnp.ndarray, u: jnp.ndarray,
                     v: jnp.ndarray,
                     precision: Precision = Precision.HIGHEST):
-    """Thin QR of A + u v^T from the thin QR of A (m x n, m >= n).
+    """Thin QR of A + u v^H (v^H == v^T for real) from the thin QR of A
+    (m x n, m >= n).
 
-    Algorithm (G&VL 12.5.1): with w = Q^T u, q the unit residual and
-    rho its norm, A + u v^T = [Q q] ([[R], [0]] + [w; rho] v^T).  A bottom-up
-    Givens chain maps [w; rho] to ||.|| e_0 and [[R], [0]] to upper
-    Hessenberg; adding (||.|| e_0) v^T touches row 0 only; a top-down chain
+    Algorithm (G&VL 12.5.1): with w = Q^H u, q the unit residual and
+    rho its norm, A + u v^H = [Q q] ([[R], [0]] + [w; rho] v^H).  A bottom-up
+    Givens chain maps [w; rho] to tau e_0 and [[R], [0]] to upper
+    Hessenberg; adding (tau e_0) v^H touches row 0 only; a top-down chain
     restores triangularity.  2n rotations, O(mn + n^2) total.
     """
     m, n = Q.shape
     q, w, rho = _orthogonal_complement(Q, u.astype(Q.dtype), precision)
     Q1 = jnp.concatenate([Q, q[:, None]], axis=1)
     M = jnp.concatenate([R, jnp.zeros((1, n), R.dtype)], axis=0)
-    we = jnp.concatenate([w, rho[None]])
+    we = jnp.concatenate([w, rho.astype(w.dtype)[None]])
 
     def up(t, carry):
         M, Q1, we = carry
@@ -99,7 +118,7 @@ def qr_rank1_update(Q: jnp.ndarray, R: jnp.ndarray, u: jnp.ndarray,
         return _rot_rows(M, i, i + 1, c, s), _rot_cols(Q1, i, i + 1, c, s), we
 
     M, Q1, we = jax.lax.fori_loop(0, n, up, (M, Q1, we))
-    M = M.at[0].add(we[0] * v.astype(M.dtype))
+    M = M.at[0].add(we[0] * _h(v.astype(M.dtype)))
 
     def down(i, carry):
         M, Q1 = carry
@@ -166,7 +185,9 @@ def qr_row_delete(Q: jnp.ndarray, R: jnp.ndarray, k: int,
     w, q, _rho = _orthogonal_complement(Q, ek, precision)
     Qe = jnp.concatenate([Q, w[:, None]], axis=1)
     M = jnp.concatenate([R, jnp.zeros((1, n), R.dtype)], axis=0)
-    qe = jnp.concatenate([q, jnp.sqrt(jnp.maximum(1 - q @ q, 0))[None]])
+    # gamma^2 = 1 - ||q||^2 (real also for complex Q: rho = w[k], see Bjorck)
+    gamma = jnp.sqrt(jnp.maximum(1 - jnp.sum(jnp.abs(q) ** 2), 0))
+    qe = jnp.concatenate([q, gamma.astype(q.dtype)[None]])
 
     def body(t, carry):
         M, Qe, qe = carry
@@ -200,7 +221,7 @@ def qr_col_insert(Q: jnp.ndarray, R: jnp.ndarray, a: jnp.ndarray, k: int,
     q, w, rho = _orthogonal_complement(Q, a.astype(Q.dtype), precision)
     Q1 = jnp.concatenate([Q, q[:, None]], axis=1)
     Rp = jnp.pad(R, ((0, 1), (0, 0)))
-    newcol = jnp.concatenate([w, rho[None]])[:, None]
+    newcol = jnp.concatenate([w, rho.astype(w.dtype)[None]])[:, None]
     M = jnp.concatenate([Rp[:, :k], newcol, Rp[:, k:]], axis=1)
 
     def body(t, carry):

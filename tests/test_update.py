@@ -119,3 +119,48 @@ def test_update_chain(rng):
         A = jnp.concatenate([A, a[None]], axis=0)
         Q, R = qr_row_insert(Q, R, a)
     _check(Q, R, A, 1e-3)
+
+
+class TestComplex:
+    """Complex factors: rotations follow clartg (real c, complex s)."""
+
+    def _cqr(self, rng, m, n):
+        A = (rng.standard_normal((m, n)) +
+             1j * rng.standard_normal((m, n))).astype(np.complex64)
+        Qn, Rn = np.linalg.qr(A)
+        return A, jnp.asarray(Qn.astype(np.complex64)), \
+            jnp.asarray(Rn.astype(np.complex64))
+
+    def _check(self, Q, R, A_new, tol=1e-3):
+        Q, R = np.asarray(Q), np.asarray(R)
+        n = R.shape[1]
+        assert np.linalg.norm(Q @ R - A_new) / np.linalg.norm(A_new) < tol
+        assert np.linalg.norm(Q.conj().T @ Q - np.eye(Q.shape[1])) < tol
+        assert np.abs(np.tril(R[:, :R.shape[0]], -1)).max() < 1e-6
+
+    def test_rank1(self, rng):
+        A, Q, R = self._cqr(rng, 40, 12)
+        u = (rng.standard_normal(40) + 1j * rng.standard_normal(40)
+             ).astype(np.complex64)
+        v = (rng.standard_normal(12) + 1j * rng.standard_normal(12)
+             ).astype(np.complex64)
+        Q1, R1 = qr_rank1_update(Q, R, jnp.asarray(u), jnp.asarray(v))
+        self._check(Q1, R1, A + np.outer(u, v.conj()))
+
+    def test_row_insert_delete(self, rng):
+        A, Q, R = self._cqr(rng, 30, 10)
+        a = (rng.standard_normal(10) + 1j * rng.standard_normal(10)
+             ).astype(np.complex64)
+        Q1, R1 = qr_row_insert(Q, R, jnp.asarray(a[None])[0], k=4)
+        self._check(Q1, R1, np.insert(A, 4, a, axis=0))
+        Q2, R2 = qr_row_delete(Q, R, 7)
+        self._check(Q2, R2, np.delete(A, 7, axis=0))
+
+    def test_col_insert_delete(self, rng):
+        A, Q, R = self._cqr(rng, 30, 10)
+        a = (rng.standard_normal(30) + 1j * rng.standard_normal(30)
+             ).astype(np.complex64)
+        Q1, R1 = qr_col_insert(Q, R, jnp.asarray(a), 3)
+        self._check(Q1, R1, np.insert(A, 3, a, axis=1))
+        Q2, R2 = qr_col_delete(Q, R, 6)
+        self._check(Q2, R2, np.delete(A, 6, axis=1))
