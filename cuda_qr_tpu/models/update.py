@@ -132,8 +132,30 @@ def qr_rank1_update(Q: jnp.ndarray, R: jnp.ndarray, u: jnp.ndarray,
     return Q1[:, :n], jnp.triu(M[:n])
 
 
-# A + u v^T is the canonical "qr_update"; keep the short name as an alias.
-qr_update = qr_rank1_update
+@partial(jax.jit, static_argnames=("precision",))
+def qr_update(Q: jnp.ndarray, R: jnp.ndarray, u: jnp.ndarray,
+              v: jnp.ndarray, precision: Precision = Precision.HIGHEST):
+    """Thin QR of A + u v^H (rank-1) or A + U V^H (rank-k, U (m, k),
+    V (n, k)) -- scipy.linalg.qr_update's surface.
+
+    Rank-k runs k sequential rank-1 chains under lax.scan: the O(k n)
+    rotation chain is the same work as the blocked algorithm and keeps one
+    code path; for k approaching n/2 a refactor of Q R + U V^H is cheaper.
+    """
+    if u.ndim == 1:
+        return qr_rank1_update(Q, R, u, v, precision)
+    if u.ndim != 2 or v.ndim != 2 or u.shape[1] != v.shape[1]:
+        raise ValueError(
+            f"rank-k update needs U (m, k), V (n, k); got {u.shape} {v.shape}")
+
+    def step(carry, uv):
+        Q, R = carry
+        ui, vi = uv
+        Q, R = qr_rank1_update(Q, R, ui, vi, precision)
+        return (Q, R), None
+
+    (Q, R), _ = jax.lax.scan(step, (Q, R), (u.T, v.T))
+    return Q, R
 
 
 @partial(jax.jit, static_argnames=("k",))

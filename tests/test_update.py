@@ -164,3 +164,22 @@ class TestComplex:
         self._check(Q1, R1, np.insert(A, 3, a, axis=1))
         Q2, R2 = qr_col_delete(Q, R, 6)
         self._check(Q2, R2, np.delete(A, 6, axis=1))
+
+
+def test_rank_k_update(rng):
+    from cuda_qr_tpu.models.update import qr_update
+    A = rng.standard_normal((50, 16)).astype(np.float32)
+    U = rng.standard_normal((50, 3)).astype(np.float32)
+    V = rng.standard_normal((16, 3)).astype(np.float32)
+    Qn, Rn = np.linalg.qr(A)
+    Q1, R1 = qr_update(jnp.asarray(Qn.astype(np.float32)),
+                       jnp.asarray(Rn.astype(np.float32)),
+                       jnp.asarray(U), jnp.asarray(V))
+    A_new = A + U @ V.T
+    Q1, R1 = np.asarray(Q1, np.float64), np.asarray(R1, np.float64)
+    assert np.linalg.norm(Q1 @ R1 - A_new) / np.linalg.norm(A_new) < 1e-5
+    assert np.linalg.norm(Q1.T @ Q1 - np.eye(16)) < 1e-5
+    with pytest.raises(ValueError, match="rank-k"):
+        qr_update(jnp.asarray(Qn.astype(np.float32)),
+                  jnp.asarray(Rn.astype(np.float32)),
+                  jnp.asarray(U), jnp.asarray(V[:, :2]))
