@@ -21,6 +21,8 @@ Commands:
   pivoted m n [--rank r] [--decay d] -- rank-revealing randomized QRCP
                   (optionally truncated at rank r; decay < 1 generates a
                   geometrically decaying spectrum)
+  batched b m n -- batched small-matrix QR (sCholQR3) over a (b, m, n) stack
+  update m n   -- rank-1 qr_update benchmark vs a full refactor
 """
 
 from __future__ import annotations
@@ -236,6 +238,71 @@ def cmd_oracle(args):
     return 0 if resid < 1e-12 * args.n else 2
 
 
+def cmd_batched(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.batched import qr_batched
+    from .utils.timing import bench, qr_flops
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.b, args.m, args.n)),
+                    dtype=cfg.dtype)
+    r = bench(lambda a: qr_batched(a, cfg), A, reps=args.trials,
+              flops=args.b * qr_flops(args.m, args.n))
+    rec = {"cmd": "batched", "b": args.b, "m": args.m, "n": args.n,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1), "gflops": round(r.gflops, 1)}
+    if not args.no_verify:
+        Q, R = qr_batched(A, cfg)
+        Qn = np.asarray(Q, np.float64)
+        Rn = np.asarray(R, np.float64)
+        An = np.asarray(A, np.float64)
+        resid = float(np.linalg.norm(Qn @ Rn - An) /
+                      max(np.linalg.norm(An), 1.0))
+        orth = float(max(np.linalg.norm(q.T @ q - np.eye(args.n))
+                         for q in Qn))
+        eps = float(jnp.finfo(cfg.dtype).eps)
+        rec |= {"residual": resid, "orthogonality": orth,
+                "ok": resid < args.n * eps and orth < 4 * args.n * eps}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
+def cmd_update(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.qr import qr
+    from .models.update import qr_rank1_update
+    from .utils.timing import bench
+    from .utils.verify import check_qr
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = rng.standard_normal((args.m, args.n))
+    Q, R = qr(jnp.asarray(A, dtype=cfg.dtype), cfg)
+    u = jnp.asarray(rng.standard_normal(args.m), dtype=cfg.dtype)
+    v = jnp.asarray(rng.standard_normal(args.n), dtype=cfg.dtype)
+    r_up = bench(lambda q, rr: qr_rank1_update(q, rr, u, v), Q, R,
+                 reps=args.trials)
+    r_ref = bench(lambda a: qr(a, cfg),
+                  jnp.asarray(A + np.outer(u, v), dtype=cfg.dtype),
+                  reps=args.trials)
+    rec = {"cmd": "update", "m": args.m, "n": args.n, "dtype": args.dtype,
+           "update_ms": round(r_up.steady_s * 1e3, 2),
+           "refactor_ms": round(r_ref.steady_s * 1e3, 2),
+           "compile_s": round(r_up.compile_s, 1)}
+    if not args.no_verify:
+        Q1, R1 = qr_rank1_update(Q, R, u, v)
+        chk = check_qr(A + np.outer(np.asarray(u, np.float64),
+                                    np.asarray(v, np.float64)),
+                       np.asarray(Q1), np.asarray(R1))
+        rec |= {"residual": chk.residual, "orthogonality": chk.orthogonality,
+                "ok": chk.residual_ok and chk.orthogonality_ok}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def main(argv=None):
     from .utils.cache import enable_persistent_cache
     enable_persistent_cache()  # amortize XLA compiles across CLI invocations
@@ -280,18 +347,26 @@ def main(argv=None):
     sp.add_argument("n", type=int)
     sp.add_argument("--rank", type=int, default=None)
     sp.add_argument("--decay", type=float, default=1.0)
+    sp = sub.add_parser("batched")
+    sp.add_argument("b", type=int)
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp = sub.add_parser("update")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
         jax.config.update("jax_platforms", "cpu")
-    for dim in ("m", "n", "k", "pr", "pc"):
+    for dim in ("m", "n", "k", "pr", "pc", "b"):
         if getattr(args, dim, 1) < 1:
             p.error(f"{dim} must be >= 1, got {getattr(args, dim)}")
     if getattr(args, "n", 0) > getattr(args, "m", 0):
         p.error(f"need n <= m, got m={args.m} n={args.n}")
     return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
             "compare": cmd_compare, "oracle": cmd_oracle,
-            "caqr": cmd_caqr, "pivoted": cmd_pivoted}[args.cmd](args)
+            "caqr": cmd_caqr, "pivoted": cmd_pivoted,
+            "batched": cmd_batched, "update": cmd_update}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -52,3 +52,11 @@ def test_cli_caqr_virtual_mesh():
              "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["ok"] and rec["devices"] == 8
+
+
+def test_cli_batched_and_update():
+    for argv in (("--trials", "1", "--no-pallas", "batched", "4", "48", "16"),
+                 ("--trials", "1", "--no-pallas", "update", "64", "24")):
+        out = run_cli(*argv)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["ok"], rec

@@ -183,3 +183,40 @@ def test_rank_k_update(rng):
         qr_update(jnp.asarray(Qn.astype(np.float32)),
                   jnp.asarray(Rn.astype(np.float32)),
                   jnp.asarray(U), jnp.asarray(V[:, :2]))
+
+
+def test_scipy_compat_surface(rng):
+    """Matches scipy.linalg.qr_update/insert/delete numerically."""
+    import scipy.linalg as sl
+    from cuda_qr_tpu.models import scipy_compat as sc
+    A = rng.standard_normal((20, 8))
+    Q, R = np.linalg.qr(A)
+
+    u = rng.standard_normal(20)
+    v = rng.standard_normal(8)
+    Q1, R1 = sc.qr_update(Q, R, u, v)
+    Qs, Rs = sl.qr_update(Q, R, u, v)
+    np.testing.assert_allclose(np.asarray(Q1) @ np.asarray(R1), Qs @ Rs,
+                               atol=1e-5)
+
+    rows = rng.standard_normal((2, 8))
+    Q2, R2 = sc.qr_insert(Q, R, rows, 5, which="row")
+    Qs, Rs = sl.qr_insert(Q, R, rows, 5, which="row", rcond=None)
+    np.testing.assert_allclose(np.asarray(Q2) @ np.asarray(R2), Qs @ Rs,
+                               atol=1e-5)
+
+    Q3, R3 = sc.qr_delete(Q, R, 3, p=2, which="row")
+    Qs, Rs = sl.qr_delete(Q, R, 3, p=2, which="row")
+    np.testing.assert_allclose(np.asarray(Q3) @ np.asarray(R3), Qs @ Rs,
+                               atol=1e-5)
+
+    col = rng.standard_normal(20)
+    Q4, R4 = sc.qr_insert(Q, R, col, 2, which="col")
+    Qs, Rs = sl.qr_insert(Q, R, col, 2, which="col")
+    np.testing.assert_allclose(np.asarray(Q4) @ np.asarray(R4), Qs @ Rs,
+                               atol=1e-5)
+
+    Q5, R5 = sc.qr_delete(Q, R, 6, which="col")
+    Qs, Rs = sl.qr_delete(Q, R, 6, which="col")
+    np.testing.assert_allclose(np.asarray(Q5) @ np.asarray(R5), Qs @ Rs,
+                               atol=1e-5)
