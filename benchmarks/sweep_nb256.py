@@ -37,6 +37,16 @@ def main():
                                   scan_stages=8, apply_aggregate=8),
         "nb256_s4": QRConfig(dtype=jnp.float32, panel_width=256,
                              scan_stages=4),
+        # MIXED preset on both panel widths (ROADMAP r3 item 4): trailing +
+        # orgqr GEMMs at HIGH (bf16x3), panels at HIGHEST.
+        "nb128_s16_mixed": QRConfig(
+            dtype=jnp.float32, scan_stages=16,
+            trailing_precision=jax.lax.Precision.HIGH,
+            orgqr_precision=jax.lax.Precision.HIGH),
+        "nb256_s8_mixed": QRConfig(
+            dtype=jnp.float32, panel_width=256, scan_stages=8,
+            trailing_precision=jax.lax.Precision.HIGH,
+            orgqr_precision=jax.lax.Precision.HIGH),
     }
     if len(sys.argv) > 1:
         configs = {k: v for k, v in configs.items() if k in sys.argv[1:]}
