@@ -1,0 +1,74 @@
+"""Tall-skinny M x 64 sweep mirroring the reference's timing.txt:1-13.
+
+Row-for-row comparison against the reference's published MMQR and MAGMA
+times (BASELINE.md; hand-recorded from qr.cu:789,805).  Reference times
+include cudaMalloc + H2D/D2H inside mmqr (qr.cu:493-498); ours are
+steady-state on-device (compile and transfer reported separately), which is
+the honest production number -- the factorization is resident either way.
+
+Prints one JSON line per size with the speedup columns, then a summary.
+"""
+
+import json
+import sys
+
+# timing.txt:4-13 (seconds).
+REFERENCE = {
+    256: (0.017642, 0.022984),
+    512: (0.034541, 0.023280),
+    1024: (0.068002, 0.024406),
+    2048: (0.135096, 0.025067),
+    4096: (0.269188, 0.028084),
+    8192: (0.545109, 0.033503),
+    16384: (1.094346, 0.044161),
+    32768: (2.189796, 0.066345),
+    65536: (4.396491, 0.113676),
+    131072: (8.793325, 0.249329),
+}
+
+
+def main():
+    from cuda_qr_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_qr_tpu.models.tsqr import tsqr
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+    from cuda_qr_tpu.utils.verify import check_qr
+
+    if jax.default_backend() != "tpu":
+        print("needs the real TPU", file=sys.stderr)
+        return 1
+    n = 64
+    cfg = QRConfig(dtype=jnp.float32, tsqr_leaf="cholqr2")
+    rng = np.random.default_rng(12)
+    worst = 0.0
+    sizes = [m for m in REFERENCE if len(sys.argv) < 2
+             or str(m) in sys.argv[1:]]
+    for m in sizes:
+        A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+        r = bench(lambda a: tsqr(a, cfg), A, reps=3, flops=qr_flops(m, n))
+        Q, R = tsqr(A, cfg)
+        chk = check_qr(np.asarray(A), np.asarray(Q), np.asarray(R))
+        worst = max(worst, chk.residual)
+        mm, mg = REFERENCE[m]
+        print(json.dumps({
+            "m": m, "n": n, "steady_ms": round(r.steady_s * 1e3, 3),
+            "gflops": round(r.gflops, 1),
+            "vs_mmqr": round(mm / r.steady_s, 0),
+            "vs_magma": round(mg / r.steady_s, 0),
+            "residual": float(f"{chk.residual:.3e}"),
+            "ok": chk.ok,
+            "compile_s": round(r.compile_s, 1),
+        }), flush=True)
+    print(json.dumps({"summary": "tallskinny_Mx64", "worst_residual":
+                      float(f"{worst:.3e}")}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
