@@ -3,6 +3,16 @@
 Pipeline: blocked factorization (qr_blocked) -> Q^T b without forming Q
 (ormqr, the production replacement for the reference's verification-only
 explicitQR path, qr.cu:582-686) -> back-substitution R x = (Q^T b)[:n].
+
+Differentiation: real inputs use an implicit-function custom VJP (the
+adjoint of the normal equations) -- two n x n triangular solves and three
+GEMMs, instead of unrolling AD through the blocked factorization's scan
+carries (which stores every panel intermediate for the backward pass).
+With z solving A^T A z = xbar and rhat the unit residual:
+  bbar = A z + rhat diag(rhobar)
+  Abar = r z^T - (A z) x^T - rhat diag(rhobar) x^T
+(the A dx coupling in d||r|| vanishes because A^T r = 0 at the solution).
+Complex inputs take the plain-AD path.
 """
 
 from __future__ import annotations
@@ -29,10 +39,59 @@ def lstsq(A: jnp.ndarray, b: jnp.ndarray,
     """Solve min_x ||A x - b|| for m >= n full-rank A; b is (m,) or (m, k).
 
     The residual norm comes for free as ||(Q^T b)[n:]|| -- no extra GEMM.
+    Differentiable in (A, b); see the module docstring for the VJP.
     """
     # Route host inputs through to_device BEFORE jit's own device_put:
     # complex numpy operands must not cross the tunnel raw (utils/hostio.py).
     return _lstsq_jit(to_device(A), to_device(b), config)
+
+
+def _lstsq_math(A: jnp.ndarray, B: jnp.ndarray, config: QRConfig):
+    """(x, resid, R) for 2-D B; the shared forward computation."""
+    m, n = A.shape
+    fac = qr_blocked(A, config)
+    B = B.astype(fac.packed.dtype)  # follows A for complex inputs
+    QtB = ormqr(fac, jnp.pad(B, ((0, fac.packed.shape[0] - m), (0, 0))),
+                transpose=True, config=config)
+    R = extract_r(fac, n)
+    x = jsl.solve_triangular(R, QtB[:n], lower=False)
+    resid = jnp.linalg.norm(QtB[n:m], axis=0)
+    return x, resid, R
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lstsq_core(A, B, config):
+    x, resid, _ = _lstsq_math(A, B, config)
+    return x, resid
+
+
+def _lstsq_fwd(A, B, config):
+    prec = config.precision
+    x, resid, R = _lstsq_math(A, B, config)
+    r = B.astype(x.dtype) - jnp.einsum("ij,jk->ik", A.astype(x.dtype), x,
+                                       precision=prec)
+    return (x, resid), (A.astype(x.dtype), x, R, r, resid)
+
+
+def _lstsq_bwd(config, saved, cts):
+    A, x, R, r, resid = saved
+    xbar, rhobar = cts
+    prec = config.precision
+    # z solves A^T A z = xbar via the cached R: z = R^-1 R^-T xbar.
+    w = jsl.solve_triangular(R, xbar, lower=False, trans=1)
+    z = jsl.solve_triangular(R, w, lower=False)
+    safe = resid > 0
+    rhat = r / jnp.where(safe, resid, 1)[None, :]
+    scaled = rhat * (jnp.where(safe, rhobar, 0))[None, :]
+    Az = jnp.einsum("ij,jk->ik", A, z, precision=prec)
+    bbar = Az + scaled
+    Abar = (jnp.einsum("ik,jk->ij", r, z, precision=prec)
+            - jnp.einsum("ik,jk->ij", Az, x, precision=prec)
+            - jnp.einsum("ik,jk->ij", scaled, x, precision=prec))
+    return Abar, bbar
+
+
+_lstsq_core.defvjp(_lstsq_fwd, _lstsq_bwd)
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -44,14 +103,12 @@ def _lstsq_jit(A: jnp.ndarray, b: jnp.ndarray,
         raise QRShapeError(f"lstsq requires m >= n, got {m}x{n}")
     vec = b.ndim == 1
     B = b[:, None] if vec else b
-
-    fac = qr_blocked(A, config)
-    B = B.astype(fac.packed.dtype)  # follows A for complex inputs
-    QtB = ormqr(fac, jnp.pad(B, ((0, fac.packed.shape[0] - m), (0, 0))),
-                transpose=True, config=config)
-    R = extract_r(fac, n)
-    x = jsl.solve_triangular(R, QtB[:n], lower=False)
-    resid = jnp.linalg.norm(QtB[n:m], axis=0)
+    if jnp.iscomplexobj(A) or jnp.iscomplexobj(B):
+        # Complex: plain AD path (the custom VJP's cotangent algebra is
+        # written for the real case).
+        x, resid, _ = _lstsq_math(A, B, config)
+    else:
+        x, resid = _lstsq_core(A, B, config)
     if vec:
         x, resid = x[:, 0], resid[0]
     return LstsqResult(x=x, residual_norm=resid)

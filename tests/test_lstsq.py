@@ -1,5 +1,6 @@
 """Least-squares solve vs numpy.linalg.lstsq."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -53,3 +54,53 @@ def test_solve_square(rng):
     np.testing.assert_allclose(np.asarray(x), x_true, atol=1e-9)
     with pytest.raises(ValueError):
         solve(jnp.zeros((4, 5)), jnp.zeros(4), CFG)
+
+
+class TestGradients:
+    """lstsq's implicit-function custom VJP vs finite differences."""
+
+    CFG = None
+
+    @classmethod
+    def setup_class(cls):
+        from cuda_qr_tpu.utils.config import QRConfig
+        cls.CFG = QRConfig(panel_width=8, use_pallas=False,
+                           dtype=jnp.float64)
+
+    def _loss(self, A, b):
+        res = lstsq(A, b, self.CFG)
+        return jnp.sum(res.x ** 2) + 0.5 * jnp.sum(res.residual_norm ** 2)
+
+    def test_matches_finite_differences(self):
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.standard_normal((24, 8)))
+        b = jnp.asarray(rng.standard_normal((24, 2)))
+        gA, gb = jax.grad(self._loss, argnums=(0, 1))(A, b)
+        e = 1e-6
+        for (i, j) in [(3, 2), (0, 0), (20, 7)]:
+            fd = (self._loss(A.at[i, j].add(e), b)
+                  - self._loss(A.at[i, j].add(-e), b)) / (2 * e)
+            assert abs(fd - gA[i, j]) < 1e-5 * max(1.0, abs(float(fd)))
+        for (i, j) in [(5, 0), (11, 1)]:
+            fd = (self._loss(A, b.at[i, j].add(e))
+                  - self._loss(A, b.at[i, j].add(-e))) / (2 * e)
+            assert abs(fd - gb[i, j]) < 1e-5 * max(1.0, abs(float(fd)))
+
+    def test_consistent_system_grad_finite(self):
+        rng = np.random.default_rng(1)
+        A = jnp.asarray(rng.standard_normal((20, 6)))
+        bc = A @ jnp.asarray(rng.standard_normal((6, 1)))
+        g = jax.grad(lambda a: jnp.sum(lstsq(a, bc, self.CFG).x ** 2)
+                     + jnp.sum(lstsq(a, bc, self.CFG).residual_norm))(A)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_vector_b(self):
+        rng = np.random.default_rng(2)
+        A = jnp.asarray(rng.standard_normal((24, 8)))
+        bv = jnp.asarray(rng.standard_normal(24))
+        g = jax.grad(lambda a: jnp.sum(lstsq(a, bv, self.CFG).x ** 2))(A)
+        e = 1e-6
+        fd = (jnp.sum(lstsq(A.at[2, 3].add(e), bv, self.CFG).x ** 2)
+              - jnp.sum(lstsq(A.at[2, 3].add(-e), bv, self.CFG).x ** 2)) \
+            / (2 * e)
+        assert abs(fd - g[2, 3]) < 1e-5
