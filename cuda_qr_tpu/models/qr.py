@@ -57,25 +57,30 @@ def _qr_diff_fwd(A, config):
     return (Q, R), (Q, R)
 
 
-def _qr_diff_bwd(config, residuals, cotangents):
-    """Reverse rule for thin QR, m >= n (the standard copyltu formula):
+def thin_qr_vjp(Q, R, dQ, dR, precision):
+    """Reverse rule for any thin QR, m >= n (the standard copyltu formula):
         M = R dR^T - dQ^T Q
         dA = (dQ + Q (tril(M,-1) + tril(M,-1)^T + diag(M))) R^{-T}
-    The drivers' fori/while loops are not reverse-differentiable, so QR is
-    exposed as a custom-VJP primitive -- cheaper than differentiating
-    through the factorization anyway (two GEMMs + one triangular solve).
+    Depends only on the primal outputs, so every thin-QR algorithm in the
+    library (blocked Householder, TSQR tree, direct CholeskyQR2) shares it.
+    Two GEMMs + one triangular solve -- cheaper than differentiating
+    through any of the factorizations.
     """
     import jax.scipy.linalg as jsl
-    Q, R = residuals
-    dQ, dR = cotangents
-    prec = config.precision
-    M = (jnp.einsum("ij,kj->ik", R, dR, precision=prec)
-         - jnp.einsum("ji,jk->ik", dQ, Q, precision=prec))
+    M = (jnp.einsum("ij,kj->ik", R, dR, precision=precision)
+         - jnp.einsum("ji,jk->ik", dQ, Q, precision=precision))
     tri = jnp.tril(M, -1)
     copyltu = tri + tri.T + jnp.diag(jnp.diagonal(M))
-    rhs = dQ + jnp.einsum("ij,jk->ik", Q, copyltu, precision=prec)
-    dA = jsl.solve_triangular(R, rhs.T, lower=False).T
-    return (dA,)
+    rhs = dQ + jnp.einsum("ij,jk->ik", Q, copyltu, precision=precision)
+    return jsl.solve_triangular(R, rhs.T, lower=False).T
+
+
+def _qr_diff_bwd(config, residuals, cotangents):
+    """The drivers' fori/while loops are not reverse-differentiable, so QR
+    is exposed as a custom-VJP primitive over ``thin_qr_vjp``."""
+    Q, R = residuals
+    dQ, dR = cotangents
+    return (thin_qr_vjp(Q, R, dQ, dR, config.precision),)
 
 
 _qr_diff.defvjp(_qr_diff_fwd, _qr_diff_bwd)

@@ -176,9 +176,39 @@ def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
     R carries the usual TSQR sign ambiguity (each tree node applies its own
     reflector sign convention); diag(R) is NOT forced positive, matching the
     reference's convention-free verification (it only checks ||QR - A||).
+
+    Differentiable for real full-rank input via the shared thin-QR custom
+    VJP (models/qr.py::thin_qr_vjp) -- the tree's lax.cond fallbacks and
+    fori loops never appear in the backward graph.
     """
-    m, n = A.shape
     config = _complex_config(A, config)
+    if jnp.iscomplexobj(A):
+        return _tsqr_impl(A, config)
+    return _tsqr_diff(A, config)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _tsqr_diff(A, config: QRConfig):
+    return _tsqr_impl(A, config)
+
+
+def _tsqr_diff_fwd(A, config):
+    Q, R = _tsqr_impl(A, config)
+    return (Q, R), (Q, R)
+
+
+def _tsqr_diff_bwd(config, residuals, cotangents):
+    from .qr import thin_qr_vjp
+    Q, R = residuals
+    dQ, dR = cotangents
+    return (thin_qr_vjp(Q, R, dQ, dR, config.precision),)
+
+
+_tsqr_diff.defvjp(_tsqr_diff_fwd, _tsqr_diff_bwd)
+
+
+def _tsqr_impl(A: jnp.ndarray, config: QRConfig):
+    m, n = A.shape
     A = A.astype(config.dtype)
     prec = config.precision
 

@@ -109,3 +109,33 @@ def test_tsqr_cholqr2_direct_fallback_ill_conditioned(rng):
     Q, R = tsqr(jnp.asarray(A), cfg)
     chk = check_qr(A, np.asarray(Q), np.asarray(R))
     assert chk.orthogonality < 8 * n * chk.eps, chk
+
+
+def test_tsqr_gradient_matches_qr():
+    """tsqr shares the thin-QR custom VJP: grads match qr()'s and finite
+    differences."""
+    import jax
+    from cuda_qr_tpu.models.qr import qr
+    rng = np.random.default_rng(9)
+    A = jnp.asarray(rng.standard_normal((96, 6)))
+    cfg = QRConfig(block_rows=32, use_pallas=False, dtype=jnp.float64)
+
+    def loss_tsqr(a):
+        Q, R = tsqr(a, cfg)
+        # sign-invariant loss (tsqr's R sign convention differs from qr's)
+        return jnp.sum(Q ** 2 * jnp.arange(6)) + jnp.sum(R ** 2)
+
+    def loss_qr(a):
+        Q, R = qr(a, cfg)
+        return jnp.sum(Q ** 2 * jnp.arange(6)) + jnp.sum(R ** 2)
+
+    g_t = jax.grad(loss_tsqr)(A)
+    g_q = jax.grad(loss_qr)(A)
+    assert bool(jnp.all(jnp.isfinite(g_t)))
+    e = 1e-6
+    for (i, j) in [(0, 0), (50, 3), (95, 5)]:
+        fd = (loss_tsqr(A.at[i, j].add(e))
+              - loss_tsqr(A.at[i, j].add(-e))) / (2 * e)
+        assert abs(fd - g_t[i, j]) < 1e-5 * max(1.0, abs(float(fd))), (i, j)
+    # sign-invariant losses agree across algorithms too
+    assert float(jnp.max(jnp.abs(g_t - g_q))) < 1e-8
