@@ -62,6 +62,9 @@ def qr_batched(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
 
     mode='reduced' returns (Q, R); mode='r' returns R only (same flops --
     the refinement rounds need Q -- but saves the output).
+
+    Differentiable via the shared thin-QR custom VJP, vmapped over the
+    batch (models/qr.py::thin_qr_vjp).
     """
     A = jnp.asarray(A)
     if A.ndim < 2:
@@ -77,6 +80,41 @@ def qr_batched(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
         raise QRShapeError(f"qr_batched requires m >= n, got {m}x{n}")
     dtype = A.dtype if A.dtype in (jnp.float32, jnp.float64) else config.dtype
     X = A.reshape((-1, m, n)).astype(dtype)
+    Q, R = _qr_batched_diff(X, config)
+    out_shape = tuple(batch)
+    Q = Q.reshape(out_shape + (m, n))
+    R = R.reshape(out_shape + (n, n))
+    if mode == "r":
+        return R
+    return Q, R
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _qr_batched_diff(X, config: QRConfig):
+    return _qr_batched_math(X, config)
+
+
+def _qr_batched_fwd(X, config):
+    Q, R = _qr_batched_math(X, config)
+    return (Q, R), (Q, R)
+
+
+def _qr_batched_bwd(config, residuals, cotangents):
+    from .qr import thin_qr_vjp
+    Q, R = residuals
+    dQ, dR = cotangents
+    dA = jax.vmap(lambda q, r, dq, dr:
+                  thin_qr_vjp(q, r, dq, dr, config.precision))(Q, R, dQ, dR)
+    return (dA,)
+
+
+_qr_batched_diff.defvjp(_qr_batched_fwd, _qr_batched_bwd)
+
+
+def _qr_batched_math(X: jnp.ndarray, config: QRConfig):
+    """sCholQR3 of a flattened (B, m, n) stack -> (Q, R)."""
+    _, m, n = X.shape
+    dtype = X.dtype
     prec = config.precision
     eps = jnp.finfo(dtype).eps
 
@@ -109,10 +147,4 @@ def qr_batched(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
         return Q3, jnp.einsum("bij,bjk->bik", R3, R21, precision=prec)
 
     Q, R = jax.lax.cond(emax2 > tol, refine, lambda a: a, (Q2, R21))
-    R = jnp.triu(R)  # exact zeros below the diagonal
-    out_shape = tuple(batch)
-    Q = Q.reshape(out_shape + (m, n))
-    R = R.reshape(out_shape + (n, n))
-    if mode == "r":
-        return R
-    return Q, R
+    return Q, jnp.triu(R)  # exact zeros below the diagonal

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from cuda_qr_tpu.models.batched import qr_batched
+from cuda_qr_tpu.utils.config import QRConfig
 from cuda_qr_tpu.utils.errors import QRShapeError
 
 
@@ -104,3 +105,30 @@ def test_batched_single_matrix(rng):
     Q, R = qr_batched(A)
     assert Q.shape == (30, 7) and R.shape == (7, 7)
     _check_stack(Q[None], R[None], A[None], 1e-4)
+
+
+def test_batched_gradient():
+    """qr_batched shares the thin-QR VJP (vmapped); matches per-element
+    qr() gradients under a sign/convention-invariant loss."""
+    import jax
+    from cuda_qr_tpu.models.qr import qr
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.standard_normal((3, 20, 5)))
+    cfg = QRConfig(panel_width=8, use_pallas=False, dtype=jnp.float64)
+    w = jnp.arange(5.0)
+
+    def loss_b(a):
+        Q, R = qr_batched(a)
+        return jnp.sum(Q ** 2 * w) + jnp.sum(R ** 2)
+
+    def loss_q(a):
+        out = 0.0
+        for i in range(3):
+            Q, R = qr(a[i], cfg)
+            out = out + jnp.sum(Q ** 2 * w) + jnp.sum(R ** 2)
+        return out
+
+    g_b = jax.grad(loss_b)(A)
+    g_q = jax.grad(loss_q)(A)
+    assert bool(jnp.all(jnp.isfinite(g_b)))
+    assert float(jnp.max(jnp.abs(g_b - g_q))) < 1e-7
