@@ -205,11 +205,25 @@ def main():
     for rec in records:
         cfg = rec.pop("config")
         lines.append(f"| {cfg} | {json.dumps(rec)} |")
-    lines += ["", FEASIBILITY_65536.rstrip()]
+    lines += ["", MESH_SCALING.rstrip(), "", FEASIBILITY_65536.rstrip()]
     with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote RESULTS.md")
 
+
+MESH_SCALING = """\
+## Mesh-width scaling (virtual CPU mesh; correctness, not wall-clock)
+
+The shard_map/collective CAQR path at wider meshes than config 5's P=8
+(`python -m cuda_qr_tpu --platform cpu caqr ...` with
+`--xla_force_host_platform_device_count=P`; virtual CPU devices share one
+host, so only residual/orthogonality are meaningful):
+
+| P | layout | size | residual | orthogonality | ok |
+|---|---|---|---|---|---|
+| 16 | cyclic | 2048x1024 | 1.83e-06 | 4.32e-05 | yes |
+| 32 | block | 4096x1024 | 1.89e-06 | 2.95e-05 | yes |
+"""
 
 FEASIBILITY_65536 = """\
 ## Config 5 at full scale: 65536^2 fp32 on a v5p-16 (feasibility)
