@@ -1,0 +1,130 @@
+"""QR-powered spectral tools: orth / randomized SVD / randomized norm.
+
+The reference stops at the factorization; everything here is what a QR
+library is *for* on TPU: the randomized range finder (Halko, Martinsson &
+Tropp 2011) is two tall GEMMs plus thin QRs -- exactly the shapes the
+TSQR/CholeskyQR2 paths (models/tsqr.py) drive at MXU speed, and the only
+dense SVD ever taken is of a small (k+p) square core on the host-precision
+path XLA already lowers well.
+
+  orth(A)          orthonormal basis of range(A) (thin Q; rank-revealing
+                   truncation via QRCP when rcond is given)
+  rsvd(A, k)       rank-k randomized SVD: A ~= U @ diag(s) @ Vt
+  norm2_est(A)     randomized spectral-norm estimate (power iteration on
+                   A^T A with QR re-orthonormalization)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import DEFAULT_CONFIG, QRConfig
+from ..utils.hostio import to_device
+from .qr import qr
+from .tsqr import tsqr
+
+
+def _thin_qr(Y, config: QRConfig):
+    """Thin Q of a tall block: TSQR when it fits the tall-skinny path,
+    blocked Householder otherwise."""
+    m, n = Y.shape
+    if n <= config.panel_width and m >= 2 * n:
+        return tsqr(Y, config)[0]
+    return qr(Y, config, mode="reduced")[0]
+
+
+def orth(A, rcond: float | None = None, config: QRConfig = DEFAULT_CONFIG):
+    """Orthonormal basis of range(A) (scipy.linalg.orth analog, QR-based).
+
+    rcond=None: thin Q of A (full column count, requires m >= n).
+    rcond given: rank-revealing basis -- QRCP runs until the first diagonal
+    of R falls below rcond * |R[0,0]|, and only those columns of Q return.
+    """
+    A = to_device(A)
+    if rcond is None:
+        return _thin_qr(A, config)
+    from ..ops.blocked import orgqr
+    from .rank import _qrcp_with_rank
+    factors, _, _, r = _qrcp_with_rank(A, config, rcond)
+    r = max(r, 1)  # a zero matrix still has a (trivial) 1-col basis slot
+    kb = factors.packed.shape[1]
+    return orgqr(factors, A.shape[0], kb, config)[:, :r]
+
+
+def rsvd(A, k: int, p: int = 8, n_iter: int = 2, key=None,
+         config: QRConfig = DEFAULT_CONFIG):
+    """Randomized rank-k SVD (HMT 2011, Alg. 4.4 + 5.1): returns (U, s, Vt)
+    with U (m x k), s (k,), Vt (k x n) and A ~= U @ diag(s) @ Vt.
+
+    Sketch width k+p; n_iter power iterations with QR re-orthonormalization
+    between applications (stabilized subspace iteration) sharpen the
+    spectral decay.  All large ops are (m x n)(n x k)-shaped GEMMs and thin
+    QRs; the dense SVD is of the (k+p) x n projection's small core only.
+
+    Works for m >= n and m < n alike (the wide case factors through A^T at
+    the GEMM level, not by transposing storage).
+    """
+    A = to_device(A)
+    m, n = A.shape
+    ell = min(k + p, min(m, n))
+    if not 1 <= k <= min(m, n):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"rank k must be in [1, {min(m, n)}], got {k}")
+    if key is None:
+        key = jax.random.PRNGKey(12)  # the reference's srand(12), qr.cu:765
+    prec = config.precision
+    real_dtype = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+
+    def mm(X, Y):
+        return jnp.einsum("ij,jk->ik", X, Y, precision=prec)
+
+    ct = (lambda X: X.conj().T) if jnp.iscomplexobj(A) else (lambda X: X.T)
+
+    Om = jax.random.normal(key, (n, ell), dtype=real_dtype).astype(A.dtype)
+    Y = mm(A, Om)
+    Q = _thin_qr(Y, config)
+    for _ in range(n_iter):
+        Q = _thin_qr(mm(ct(A), Q), config)
+        Q = _thin_qr(mm(A, Q), config)
+    B = mm(ct(Q), A)                       # (ell x n) projection
+    # small-core SVD: XLA lowers (ell x n) SVD via its own bidiagonal path;
+    # ell << n keeps it cheap relative to the sketch GEMMs
+    Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = mm(Q, Ub)
+    return U[:, :k], s[:k], Vt[:k]
+
+
+def norm2_est(A, n_iter: int = 8, key=None,
+              config: QRConfig = DEFAULT_CONFIG):
+    """Randomized spectral-norm estimate via block power iteration (block
+    size 4) with QR re-orthonormalization; a lower bound converging at
+    rate (s2/s1)^(2*n_iter)."""
+    A = to_device(A)
+    m, n = A.shape
+    b = min(4, n)
+    if key is None:
+        key = jax.random.PRNGKey(12)
+    prec = config.precision
+    ct = (lambda X: X.conj().T) if jnp.iscomplexobj(A) else (lambda X: X.T)
+    real_dtype = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    X = jax.random.normal(key, (n, b), dtype=real_dtype).astype(A.dtype)
+
+    def body(_, X):
+        Y = jnp.einsum("ij,jk->ik", A, X, precision=prec)
+        Z = jnp.einsum("ij,jk->ik", ct(A), Y, precision=prec)
+        # re-orthonormalize via the Gram Cholesky (b is tiny)
+        G = jnp.einsum("ij,ik->jk", Z.conj(), Z, precision=prec)
+        L = jnp.linalg.cholesky(G + jnp.finfo(real_dtype).tiny * jnp.eye(
+            b, dtype=G.dtype))
+        # Q = Z L^{-H}  =>  Q^T = solve(conj(L), Z^T)
+        return jax.scipy.linalg.solve_triangular(
+            L.conj(), Z.T, lower=True).T.astype(A.dtype)
+
+    X = jax.lax.fori_loop(0, n_iter, body, X)
+    Y = jnp.einsum("ij,jk->ik", A, X, precision=prec)
+    s = jnp.linalg.norm(Y, axis=0) / jnp.maximum(
+        jnp.linalg.norm(X, axis=0), jnp.finfo(real_dtype).tiny)
+    return jnp.max(s.real)

@@ -1,0 +1,92 @@
+"""orth / rsvd / norm2_est: randomized spectral tools on the QR core."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import cuda_qr_tpu as ctq
+
+CFG = ctq.QRConfig(dtype=jnp.float32, panel_width=16, scan_stages=2)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12)
+
+
+def _low_rank(rng, m, n, r, decay=0.5):
+    """Matrix with exactly r dominant singular values decaying by `decay`."""
+    U = np.linalg.qr(rng.standard_normal((m, r)))[0]
+    V = np.linalg.qr(rng.standard_normal((n, r)))[0]
+    s = decay ** np.arange(r)
+    return (U * s) @ V.T
+
+
+def test_orth_full_rank(rng):
+    A = rng.standard_normal((96, 40)).astype(np.float32)
+    Q = np.asarray(ctq.orth(A, config=CFG), np.float64)
+    assert Q.shape == (96, 40)
+    assert np.linalg.norm(Q.T @ Q - np.eye(40)) < 1e-5
+    # range(Q) == range(A): projector reproduces A
+    assert np.linalg.norm(Q @ (Q.T @ A) - A) / np.linalg.norm(A) < 1e-5
+
+
+def test_orth_rank_deficient(rng):
+    A = _low_rank(rng, 80, 48, 12, decay=1.0).astype(np.float32)
+    Q = np.asarray(ctq.orth(A, rcond=1e-5, config=CFG), np.float64)
+    assert Q.shape == (80, 12)
+    assert np.linalg.norm(Q.T @ Q - np.eye(12)) < 1e-5
+    assert np.linalg.norm(Q @ (Q.T @ A) - A) / np.linalg.norm(A) < 1e-4
+
+
+@pytest.mark.parametrize("m,n", [(200, 64), (64, 200)])
+def test_rsvd_low_rank_exact(rng, m, n):
+    # rank-10 matrix: rank-10 rsvd must reproduce it to fp32 accuracy
+    A = _low_rank(rng, m, n, 10, decay=0.7).astype(np.float32)
+    U, s, Vt = ctq.rsvd(A, k=10, p=6, n_iter=2, config=CFG)
+    U, s, Vt = (np.asarray(x, np.float64) for x in (U, s, Vt))
+    assert U.shape == (m, 10) and s.shape == (10,) and Vt.shape == (10, n)
+    assert np.linalg.norm((U * s) @ Vt - A) / np.linalg.norm(A) < 1e-5
+    assert np.linalg.norm(U.T @ U - np.eye(10)) < 1e-5
+    assert np.linalg.norm(Vt @ Vt.T - np.eye(10)) < 1e-5
+    s_ref = np.linalg.svd(A.astype(np.float64), compute_uv=False)[:10]
+    assert np.allclose(s, s_ref, rtol=1e-4)
+
+
+def test_rsvd_truncation_quality(rng):
+    # full-rank with fast decay: rank-k error ~ s_{k+1}
+    m, n, k = 150, 90, 8
+    A = _low_rank(rng, m, n, 60, decay=0.6).astype(np.float32)
+    U, s, Vt = ctq.rsvd(A, k=k, p=8, n_iter=3, config=CFG)
+    err = np.linalg.norm(
+        (np.asarray(U, np.float64) * np.asarray(s, np.float64))
+        @ np.asarray(Vt, np.float64) - A, 2)
+    s_ref = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+    assert err < 3 * s_ref[k]          # HMT expectation bound, generous
+    assert np.allclose(np.asarray(s, np.float64), s_ref[:k], rtol=1e-2)
+
+
+def test_rsvd_complex(rng):
+    A = (_low_rank(rng, 60, 40, 6, 0.8)
+         + 1j * _low_rank(rng, 60, 40, 6, 0.8)).astype(np.complex64)
+    U, s, Vt = ctq.rsvd(A, k=12, p=4, n_iter=2, config=CFG)
+    U, s, Vt = (np.asarray(x) for x in (U, s, Vt))
+    rec = (U * s) @ Vt
+    assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-4
+    assert np.linalg.norm(U.conj().T @ U - np.eye(12)) < 1e-4
+
+
+def test_rsvd_bad_rank(rng):
+    A = rng.standard_normal((20, 10)).astype(np.float32)
+    with pytest.raises(ctq.QRShapeError):
+        ctq.rsvd(A, k=11, config=CFG)
+
+
+@pytest.mark.parametrize("shape", [(120, 50), (50, 120)])
+def test_norm2_est(rng, shape):
+    A = rng.standard_normal(shape).astype(np.float32)
+    est = float(ctq.norm2_est(A, n_iter=12, config=CFG))
+    ref = np.linalg.norm(A.astype(np.float64), 2)
+    assert est <= ref * (1 + 1e-4)     # lower bound up to rounding
+    assert est > 0.97 * ref            # converged for gaussian spectra
