@@ -23,6 +23,8 @@ Commands:
                   geometrically decaying spectrum)
   batched b m n -- batched small-matrix QR (sCholQR3) over a (b, m, n) stack
   update m n   -- rank-1 qr_update benchmark vs a full refactor
+  decomp k m n -- LQ/RQ/QL benchmark + verification (k in {lq, rq, ql})
+  rsvd m n     -- randomized rank-k SVD benchmark on a decaying spectrum
 """
 
 from __future__ import annotations
@@ -303,6 +305,66 @@ def cmd_update(args):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_decomp(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models import decomp
+    from .utils.timing import bench, qr_flops
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    A = jnp.asarray(rng.standard_normal((args.m, args.n)), dtype=cfg.dtype)
+    fn = {"lq": decomp.lq, "rq": decomp.rq, "ql": decomp.ql}[args.kind]
+    r = bench(lambda a: fn(a, cfg), A, reps=args.trials,
+              flops=qr_flops(max(args.m, args.n), min(args.m, args.n)))
+    rec = {"cmd": "decomp", "kind": args.kind, "m": args.m, "n": args.n,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1), "gflops": round(r.gflops, 1)}
+    if not args.no_verify:
+        X, Y = fn(A, cfg)
+        X, Y = np.asarray(X, np.float64), np.asarray(Y, np.float64)
+        A64 = np.asarray(A, np.float64)
+        resid = float(np.linalg.norm(X @ Y - A64) / np.linalg.norm(A64))
+        k = min(args.m, args.n)
+        orthf = Y @ Y.T if args.kind in ("lq", "rq") else X.T @ X
+        rec |= {"residual": resid,
+                "orthogonality": float(np.linalg.norm(orthf - np.eye(k))),
+                "ok": resid < max(args.m, args.n) * 1.2e-7}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
+def cmd_rsvd(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.rsvd import rsvd
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    # spectrum with controllable decay so the truncation error is meaningful
+    r_full = min(args.m, args.n)
+    U = np.linalg.qr(rng.standard_normal((args.m, r_full)))[0]
+    V = np.linalg.qr(rng.standard_normal((args.n, r_full)))[0]
+    s = args.decay ** np.arange(r_full)
+    A = jnp.asarray((U * s) @ V.T, dtype=cfg.dtype)
+    r = bench(lambda a: rsvd(a, args.rank, n_iter=args.iters, config=cfg),
+              A, reps=args.trials)
+    rec = {"cmd": "rsvd", "m": args.m, "n": args.n, "rank": args.rank,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        Uk, sk, Vtk = rsvd(A, args.rank, n_iter=args.iters, config=cfg)
+        rec_err = np.linalg.norm(
+            (np.asarray(Uk, np.float64) * np.asarray(sk, np.float64))
+            @ np.asarray(Vtk, np.float64) - np.asarray(A, np.float64), 2)
+        tail = s[args.rank] if args.rank < r_full else 0.0
+        rec |= {"err2": float(rec_err), "s_next": float(tail),
+                "ok": bool(rec_err < 3 * tail + max(args.m, args.n) * 1e-6)}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def main(argv=None):
     from .utils.cache import enable_persistent_cache
     enable_persistent_cache()  # amortize XLA compiles across CLI invocations
@@ -354,6 +416,16 @@ def main(argv=None):
     sp = sub.add_parser("update")
     sp.add_argument("m", type=int)
     sp.add_argument("n", type=int)
+    sp = sub.add_parser("decomp")
+    sp.add_argument("kind", choices=["lq", "rq", "ql"])
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp = sub.add_parser("rsvd")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--rank", type=int, default=16)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--decay", type=float, default=0.8)
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
@@ -361,12 +433,14 @@ def main(argv=None):
     for dim in ("m", "n", "k", "pr", "pc", "b"):
         if getattr(args, dim, 1) < 1:
             p.error(f"{dim} must be >= 1, got {getattr(args, dim)}")
-    if getattr(args, "n", 0) > getattr(args, "m", 0):
+    if (args.cmd not in ("decomp", "rsvd")  # those take wide inputs
+            and getattr(args, "n", 0) > getattr(args, "m", 0)):
         p.error(f"need n <= m, got m={args.m} n={args.n}")
     return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
             "compare": cmd_compare, "oracle": cmd_oracle,
             "caqr": cmd_caqr, "pivoted": cmd_pivoted,
-            "batched": cmd_batched, "update": cmd_update}[args.cmd](args)
+            "batched": cmd_batched, "update": cmd_update,
+            "decomp": cmd_decomp, "rsvd": cmd_rsvd}[args.cmd](args)
 
 
 if __name__ == "__main__":

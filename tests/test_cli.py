@@ -60,3 +60,16 @@ def test_cli_batched_and_update():
         out = run_cli(*argv)
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         assert rec["ok"], rec
+
+
+def test_cli_decomp_wide():
+    out = run_cli("--no-pallas", "--trials", "1", "decomp", "lq", "48", "80")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["residual"] < 80 * 1.2e-7
+
+
+def test_cli_rsvd():
+    out = run_cli("--no-pallas", "--trials", "1", "rsvd", "128", "64",
+                  "--rank", "8", "--decay", "0.7")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["err2"] < 3 * rec["s_next"] + 1e-4
