@@ -123,3 +123,38 @@ def solve(A: jnp.ndarray, b: jnp.ndarray,
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"solve requires square A, got {m}x{n}")
     return lstsq(A, b, config).x
+
+
+def lstsq_dist(A, b, mesh, config: QRConfig = DEFAULT_CONFIG,
+               combine: str = "bk") -> LstsqResult:
+    """Distributed least squares over a row mesh: min ||A x - b||.
+
+    Augmented-matrix CAQR: one R-only communication-avoiding factorization
+    of [A | b] yields R_aug = [[R, Q^T b], [0, rho]], so the solve needs no
+    distributed Q application at all -- x = R^{-1} R_aug[:n, n:] and the
+    per-rhs residual norm is the column norm of the rho block.  (x and the
+    norms are invariant to TSQR's row-sign ambiguity: a diagonal sign flip
+    D cancels in (D R)^{-1} (D Z).)  Communication: the same two nb x nb
+    psums per panel as caqr_r -- b never moves between shards.
+
+    A: (m, n) with m >= n, full rank; b: (m,) or (m, k).  The distributed
+    counterpart of the reference-parity lstsq above (BASELINE config 4 at
+    mesh scale).
+    """
+    A, b = jnp.asarray(A), jnp.asarray(b)
+    m, n = A.shape
+    B = b[:, None] if b.ndim == 1 else b
+    if B.shape[0] != m:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"b rows {B.shape[0]} != A rows {m}")
+    from .caqr import caqr_r
+    k = B.shape[1]
+    Raug = caqr_r(jnp.concatenate([A, B.astype(A.dtype)], axis=1),
+                  mesh, config, combine=combine)
+    R = Raug[:n, :n]
+    Z = Raug[:n, n:]
+    x = jsl.solve_triangular(R, Z, lower=False)
+    resid = jnp.linalg.norm(Raug[n:, n:], axis=0)
+    if b.ndim == 1:
+        return LstsqResult(x[:, 0], resid[0])
+    return LstsqResult(x, resid)

@@ -128,3 +128,63 @@ def norm2_est(A, n_iter: int = 8, key=None,
     s = jnp.linalg.norm(Y, axis=0) / jnp.maximum(
         jnp.linalg.norm(X, axis=0), jnp.finfo(real_dtype).tiny)
     return jnp.max(s.real)
+
+
+def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
+              config: QRConfig = DEFAULT_CONFIG):
+    """Distributed randomized rank-k SVD of a row-sharded tall matrix.
+
+    Same algorithm as rsvd(), with the tall factors living on the mesh:
+    the sketch/projection GEMMs are shard-local, the thin QRs of tall
+    blocks go through tsqr_dist (allreduce-CholeskyQR2 combine), and the
+    small n x ell / ell x n intermediates are replicated via psum -- per
+    power iteration the wire carries O(n*ell + ell^2) words, never a row
+    of A.  Returns (U (m x k) row-sharded, s (k,), Vt (k x n) replicated).
+
+    Needs m % P == 0 and real A (the sketch Gram combines are real).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SpecP
+    from ..parallel.mesh import ROW_AXIS, row_sharding
+    from ..parallel.tsqr_dist import tsqr_dist
+
+    A = jnp.asarray(A)
+    m, n = A.shape
+    P_ = mesh.shape[ROW_AXIS]
+    ell = min(k + p, min(m, n))
+    if not 1 <= k <= min(m, n):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"rank k must be in [1, {min(m, n)}], got {k}")
+    if m % P_ or jnp.iscomplexobj(A):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"rsvd_dist needs real A with m % P == 0; "
+                           f"got {m} rows on {P_} shards")
+    if key is None:
+        key = jax.random.PRNGKey(12)
+    prec = config.precision
+    A = jax.device_put(A.astype(config.dtype), row_sharding(mesh))
+
+    def local_mm(a, x):            # (mloc, n) @ (n, ell), row-sharded out
+        return jnp.einsum("ij,jk->ik", a, x, precision=prec)
+
+    def reduced_tmm(a, q):         # psum of (n, mloc) @ (mloc, ell)
+        return jax.lax.psum(
+            jnp.einsum("ji,jk->ik", a, q, precision=prec), ROW_AXIS)
+
+    shard_mm = shard_map(local_mm, mesh=mesh,
+                         in_specs=(SpecP(ROW_AXIS, None), SpecP()),
+                         out_specs=SpecP(ROW_AXIS, None), check_vma=False)
+    shard_tmm = shard_map(reduced_tmm, mesh=mesh,
+                          in_specs=(SpecP(ROW_AXIS, None),
+                                    SpecP(ROW_AXIS, None)),
+                          out_specs=SpecP(), check_vma=False)
+
+    Om = jax.random.normal(key, (n, ell), dtype=jnp.float32).astype(A.dtype)
+    Q = tsqr_dist(shard_mm(A, Om), mesh, config)[0]
+    for _ in range(n_iter):
+        Z = qr(shard_tmm(A, Q), config, mode="reduced")[0]  # replicated
+        Q = tsqr_dist(shard_mm(A, Z), mesh, config)[0]
+    B = shard_tmm(A, Q).T                                   # (ell, n)
+    Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = shard_mm(Q, Ub)
+    return U[:, :k], s[:k], Vt[:k]

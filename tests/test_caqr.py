@@ -109,3 +109,22 @@ def test_caqr_cyclic_matches_block_r(rng, mesh):
     dc = np.sign(np.diag(np.asarray(Rc)))
     np.testing.assert_allclose(np.asarray(Rb) * db[:, None],
                                np.asarray(Rc) * dc[:, None], atol=1e-11)
+
+
+def test_lstsq_dist_matches_local(rng, mesh):
+    import numpy as np
+    from cuda_qr_tpu.models.lstsq import lstsq, lstsq_dist
+    from cuda_qr_tpu.utils.config import QRConfig
+    cfg = QRConfig(panel_width=8, dtype=jnp.float32, use_pallas=False)
+    m, n = 8 * 16, 24
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    b = rng.standard_normal((m, 3)).astype(np.float32)
+    got = lstsq_dist(A, b, mesh, cfg)
+    ref = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),
+                          rcond=None)[0]
+    assert np.allclose(np.asarray(got.x), ref, atol=n * 1e-5)
+    r_ref = np.linalg.norm(A @ ref - b, axis=0)
+    assert np.allclose(np.asarray(got.residual_norm), r_ref, rtol=1e-4)
+    # single-rhs shape contract
+    got1 = lstsq_dist(A, b[:, 0], mesh, cfg)
+    assert got1.x.shape == (n,) and got1.residual_norm.shape == ()

@@ -90,3 +90,18 @@ def test_norm2_est(rng, shape):
     ref = np.linalg.norm(A.astype(np.float64), 2)
     assert est <= ref * (1 + 1e-4)     # lower bound up to rounding
     assert est > 0.97 * ref            # converged for gaussian spectra
+
+
+def test_rsvd_dist_matches_single(rng):
+    from cuda_qr_tpu.parallel.mesh import row_mesh
+    mesh = row_mesh(8)
+    m, n, k = 8 * 40, 48, 6
+    A = _low_rank(rng, m, n, 20, decay=0.6).astype(np.float32)
+    U, s, Vt = ctq.rsvd_dist(A, k, mesh, p=6, n_iter=2, config=CFG)
+    U, s, Vt = (np.asarray(x, np.float64) for x in (U, s, Vt))
+    assert U.shape == (m, k) and Vt.shape == (k, n)
+    s_ref = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+    assert np.allclose(s, s_ref[:k], rtol=1e-3)
+    err = np.linalg.norm((U * s) @ Vt - A, 2)
+    assert err < 3 * s_ref[k]
+    assert np.linalg.norm(U.T @ U - np.eye(k)) < 1e-4
