@@ -45,8 +45,13 @@ def caqr(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
     if m < n:
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"caqr requires m >= n, got {m}x{n}")
+    A = jnp.asarray(A)
+    if jnp.iscomplexobj(A):  # Gram-free combine + complex leaf conventions
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False)
+        combine = "allgather"
     nb = config.panel_width
-    Ap = _pad_for_mesh(jnp.asarray(A), mesh, nb)
+    Ap = _pad_for_mesh(A, mesh, nb)
     from ..parallel.mesh import ROW_AXIS
     P_ = mesh.shape[ROW_AXIS]
     if layout == "cyclic":
@@ -64,7 +69,12 @@ def caqr_r(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
            combine: str = "bk") -> jnp.ndarray:
     """R-only distributed factorization."""
     m, n = A.shape
-    Ap = _pad_for_mesh(jnp.asarray(A), mesh, config.panel_width)
+    A = jnp.asarray(A)
+    if jnp.iscomplexobj(A):
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False)
+        combine = "allgather"
+    Ap = _pad_for_mesh(A, mesh, config.panel_width)
     Ap = jax.device_put(Ap, row_sharding(mesh))
     _, R = caqr_factor(Ap, mesh, config, combine=combine)
     return R[:n, :n]

@@ -260,10 +260,17 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
     if combine not in ("bk", "allgather"):
         raise ValueError(f"unknown combine {combine!r}")
     if jnp.iscomplexobj(A):
-        from ..utils.errors import QRShapeError
-        raise QRShapeError(
-            "caqr is real-only (CholeskyQR2/basis-kernel combines take real "
-            "Grams); factor complex matrices with qr() or tsqr()")
+        if combine == "bk":
+            from ..utils.errors import QRShapeError
+            raise QRShapeError(
+                "complex CAQR needs combine='allgather' (the basis-kernel "
+                "combine's CholeskyQR2 takes real Grams); models.caqr.caqr "
+                "routes this automatically")
+        if not jnp.issubdtype(config.dtype, jnp.complexfloating):
+            from ..utils.errors import QRShapeError
+            raise QRShapeError(
+                f"complex CAQR needs a complex config dtype, got "
+                f"{config.dtype}")
     k = n // nb
     prec = config.precision
     A = A.astype(config.dtype)

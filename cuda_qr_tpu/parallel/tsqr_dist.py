@@ -94,6 +94,12 @@ def tsqr_dist(A: jnp.ndarray, mesh: Mesh, config: QRConfig = DEFAULT_CONFIG,
     nper = mesh.shape[ROW_AXIS]
     if m % nper:
         raise ValueError(f"m={m} must divide the mesh ({nper} shards)")
+    if strategy == "cholesky" and jnp.iscomplexobj(A):
+        # _cholesky_combine's Gram einsums are real-only; the Householder
+        # combines are conjugation-correct throughout.
+        raise ValueError(
+            "strategy='cholesky' is real-only; use 'allgather' or "
+            "'butterfly' for complex input")
     if strategy == "butterfly" and (nper & (nper - 1)) != 0:
         # s ^ step would address partners >= P: silently wrong factorization.
         raise ValueError(

@@ -128,3 +128,38 @@ def test_lstsq_dist_matches_local(rng, mesh):
     # single-rhs shape contract
     got1 = lstsq_dist(A, b[:, 0], mesh, cfg)
     assert got1.x.shape == (n,) and got1.residual_norm.shape == ()
+
+
+@pytest.mark.parametrize("layout", ["block", "cyclic"])
+def test_caqr_complex(rng, mesh, layout):
+    """Complex CAQR routes to the allgather (Householder) combine."""
+    cfg = QRConfig(panel_width=8, use_pallas=False)
+    A = (rng.standard_normal((128, 40))
+         + 1j * rng.standard_normal((128, 40))).astype(np.complex64)
+    Q, R = caqr(jnp.asarray(A), mesh, cfg, layout=layout)
+    chk = check_qr(A, np.asarray(Q), np.asarray(R))
+    assert chk.ok, chk
+
+
+def test_caqr_complex_bk_rejected(rng, mesh):
+    from cuda_qr_tpu.parallel.caqr import caqr_factor
+    from cuda_qr_tpu.utils.errors import QRShapeError
+    cfg = QRConfig(panel_width=8, dtype=jnp.complex64, use_pallas=False)
+    A = jnp.ones((64, 16), jnp.complex64)
+    with pytest.raises(QRShapeError):
+        caqr_factor(A, mesh, cfg, combine="bk")
+
+
+def test_lstsq_dist_complex(rng, mesh):
+    from cuda_qr_tpu.models.lstsq import lstsq_dist
+    cfg = QRConfig(panel_width=8, use_pallas=False)
+    A = (rng.standard_normal((128, 24))
+         + 1j * rng.standard_normal((128, 24))).astype(np.complex64)
+    b = (rng.standard_normal((128, 2))
+         + 1j * rng.standard_normal((128, 2))).astype(np.complex64)
+    got = lstsq_dist(jnp.asarray(A), jnp.asarray(b), mesh, cfg)
+    ref = np.linalg.lstsq(A.astype(np.complex128), b.astype(np.complex128),
+                          rcond=None)[0]
+    assert np.abs(np.asarray(got.x) - ref).max() < 24 * 1e-6
+    r_ref = np.linalg.norm(A @ ref - b, axis=0)
+    assert np.allclose(np.asarray(got.residual_norm), r_ref, rtol=1e-4)

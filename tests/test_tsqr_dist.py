@@ -76,3 +76,23 @@ def test_tsqr_dist_sharding_preserved(rng, mesh):
     Ad = jax.device_put(jnp.asarray(A), row_sharding(mesh))
     Q, R = tsqr_dist(Ad, mesh, CFG)
     assert Q.sharding.spec == row_sharding(mesh).spec
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "butterfly"])
+def test_tsqr_dist_complex(rng, mesh, strategy):
+    import jax
+    from cuda_qr_tpu.parallel.mesh import row_sharding
+    cfg = QRConfig(panel_width=8, use_pallas=False)
+    B = (rng.standard_normal((8 * 32, 8))
+         + 1j * rng.standard_normal((8 * 32, 8))).astype(np.complex64)
+    Bd = jax.device_put(jnp.asarray(B), row_sharding(mesh))
+    Q, R = tsqr_dist(Bd, mesh, cfg, strategy=strategy)
+    chk = check_qr(B, np.asarray(Q), np.asarray(R))
+    assert chk.ok, chk
+
+
+def test_tsqr_dist_complex_cholesky_rejected(rng, mesh):
+    cfg = QRConfig(panel_width=8, use_pallas=False)
+    B = jnp.ones((8 * 16, 8), jnp.complex64)
+    with pytest.raises(ValueError, match="real-only"):
+        tsqr_dist(B, mesh, cfg, strategy="cholesky")
