@@ -484,3 +484,86 @@ def caqr_orgqr(factors, mesh: Mesh, n_cols: int,
         check_vma=False,
     )(factors.local_packed, factors.local_taus, factors.local_Ts,
       factors.tree_packed, factors.tree_Ts)
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "layout", "transpose"))
+def caqr_ormqr(factors, B: jnp.ndarray, mesh: Mesh,
+               config: QRConfig = DEFAULT_CONFIG, layout: str = "block",
+               transpose: bool = True) -> jnp.ndarray:
+    """Apply the distributed Q operator to row-sharded B (m x w) without
+    forming Q: Q^H B (transpose=True) or Q B.  B must be in the factors'
+    storage order (for layout="cyclic", pre-permute with
+    cyclic_permutation) and padded to the same m as the factorization.
+
+    transpose=True replays the factorization's per-panel transforms in
+    forward order (leaf reflectors, then the tree combine -- the same ops
+    the factor loop applies to the trailing matrix); transpose=False is
+    the reverse sweep caqr_orgqr uses.  Communication per panel: one
+    psum(nb x w) in basis-kernel form, or a (P*nb x w) all_gather for
+    allgather-form factors.
+    """
+    m, n = factors.local_packed.shape
+    nb = config.panel_width
+    P_ = mesh.shape[ROW_AXIS]
+    mloc = m // P_
+    k = n // nb
+    prec = config.precision
+    bk = isinstance(factors, CAQRFactorsBK)
+    owner_of, offset_of = _layout_fns(layout, nb, mloc, P_)
+
+    def shard_fn(ap, ltaus, lTs, b, *tree):
+        i = jax.lax.axis_index(ROW_AXIS)
+        w = b.shape[1]
+        order = range(k) if transpose else reversed(range(k))
+        for kk in order:
+            pcol = kk * nb
+            owner = owner_of(kk)
+            off = offset_of(i, kk)
+            dead = off >= mloc
+            sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
+
+            if transpose:  # leaf first (factorization order)
+                V = _unpack_v_dyn(ap[:, pcol:pcol + nb], off)
+                b = larfb(b, V, lTs[0, kk], transpose=True, precision=prec)
+
+            strip = jax.lax.dynamic_slice(b, (sl, jnp.int32(0)), (nb, w))
+            strip = jnp.where(dead, 0, strip)
+            if bk:
+                Ys, Ns = tree
+                Y_i = Ys[0, kk]
+                C = jax.lax.psum(
+                    jnp.einsum("ij,ik->jk", jnp.conj(Y_i), strip,
+                               precision=prec), ROW_AXIS)
+                Nk = Ns[kk]
+                Z = jnp.einsum("ji,jk->ik", jnp.conj(Nk), C, precision=prec) \
+                    if transpose else \
+                    jnp.einsum("ij,jk->ik", Nk, C, precision=prec)
+                mine = strip - jnp.einsum("ij,jk->ik", Y_i, Z, precision=prec)
+            else:
+                tpacked, tTs = tree
+                V2 = unpack_v(tpacked[kk])
+                gstrip = jax.lax.all_gather(strip, ROW_AXIS)
+                stackW = _roll_to_owner(gstrip, owner, P_)
+                stackW = larfb(stackW, V2, tTs[kk], transpose=transpose,
+                               precision=prec)
+                slot = jnp.mod(i - owner, P_)
+                mine = jax.lax.dynamic_slice_in_dim(stackW, slot * nb, nb, 0)
+            upd = jax.lax.dynamic_update_slice(b, mine, (sl, jnp.int32(0)))
+            b = jnp.where(dead, b, upd)
+
+            if not transpose:  # leaf after the tree (reverse sweep)
+                V = _unpack_v_dyn(ap[:, pcol:pcol + nb], off)
+                b = larfb(b, V, lTs[0, kk], transpose=False, precision=prec)
+        return b
+
+    tree_args = ((factors.Ys, factors.Ns) if bk
+                 else (factors.tree_packed, factors.tree_Ts))
+    tree_specs = ((P(ROW_AXIS), P()) if bk else (P(), P()))
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS),
+                  P(ROW_AXIS, None)) + tree_specs,
+        out_specs=P(ROW_AXIS, None),
+        check_vma=False,
+    )(factors.local_packed, factors.local_taus, factors.local_Ts,
+      B.astype(factors.local_packed.dtype), *tree_args)

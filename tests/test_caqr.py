@@ -163,3 +163,39 @@ def test_lstsq_dist_complex(rng, mesh):
     assert np.abs(np.asarray(got.x) - ref).max() < 24 * 1e-6
     r_ref = np.linalg.norm(A @ ref - b, axis=0)
     assert np.allclose(np.asarray(got.residual_norm), r_ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("combine", ["bk", "allgather"])
+@pytest.mark.parametrize("layout", ["block", "cyclic"])
+def test_caqr_ormqr_matches_explicit_q(rng, mesh, combine, layout):
+    import jax
+    from cuda_qr_tpu.parallel.caqr import (caqr_factor, caqr_orgqr,
+                                           caqr_ormqr, cyclic_permutation)
+    from cuda_qr_tpu.parallel.mesh import row_sharding
+    cfg = QRConfig(panel_width=8, dtype=jnp.float32, use_pallas=False)
+    m, n, w = 8 * 16, 32, 5
+    A = rng.standard_normal((m, n)).astype(np.float32)
+    As = A
+    if layout == "cyclic":
+        perm, inv = cyclic_permutation(m, 8, 8)
+        As = A[perm]
+    Ad = jax.device_put(jnp.asarray(As), row_sharding(mesh))
+    factors, R = caqr_factor(Ad, mesh, cfg, layout=layout, combine=combine)
+    Q = np.asarray(caqr_orgqr(factors, mesh, n, cfg, layout=layout),
+                   np.float64)  # storage order
+
+    B = rng.standard_normal((m, w)).astype(np.float32)
+    Bs = B[perm] if layout == "cyclic" else B
+    Bd = jax.device_put(jnp.asarray(Bs), row_sharding(mesh))
+    QtB = caqr_ormqr(factors, Bd, mesh, cfg, layout=layout, transpose=True)
+    # the n coefficient rows live at the storage positions of R's rows
+    # (logical top-n): for cyclic that's inv[:n], for block the literal top
+    top = np.asarray(QtB)[inv[:n]] if layout == "cyclic" \
+        else np.asarray(QtB)[:n]
+    assert np.allclose(top, Q.T @ Bs, atol=n * 1e-6)
+
+    # roundtrip: Q (Q^T B) == projection of B onto range(Q) for the top-n
+    # block; with full-height apply, Q_full Q_full^T = I so roundtrip == B
+    back = caqr_ormqr(factors, QtB, mesh, cfg, layout=layout,
+                      transpose=False)
+    assert np.allclose(np.asarray(back), Bs, atol=n * 1e-6)
