@@ -178,6 +178,96 @@ def config5_caqr():
     return rec
 
 
+
+def extras_decomp(quick: bool):
+    """Beyond-parity: LQ of a wide fp32 matrix (scipy-family surface)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.models.decomp import lq
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+
+    m, n = (512, 1024) if quick else (4096, 8192)
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    r = bench(lambda a: lq(a, cfg), A, reps=3, flops=qr_flops(n, m))
+    L, Q = lq(A, cfg)
+    L64 = np.asarray(L, np.float64)
+    Q64 = np.asarray(Q, np.float64)
+    A64 = np.asarray(A, np.float64)
+    resid = float(np.linalg.norm(L64 @ Q64 - A64) / np.linalg.norm(A64))
+    return {"config": f"x1: LQ {m}x{n} fp32 (wide)",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "gflops": round(r.gflops, 1),
+            "residual": float(f"{resid:.3e}"),
+            "backend": jax.default_backend()}
+
+
+def extras_rsvd(quick: bool):
+    """Beyond-parity: randomized SVD of a tall matrix with spectral decay."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.models.rsvd import rsvd
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    m, n, k = (4096, 256, 32) if quick else (65536, 512, 64)
+    cfg = QRConfig(dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    # geometric spectrum: rank-k truncation error is s_{k+1} = 0.9^k
+    r_full = n
+    U = np.linalg.qr(rng.standard_normal((m, r_full)))[0]
+    V = np.linalg.qr(rng.standard_normal((n, r_full)))[0]
+    sv = 0.9 ** np.arange(r_full)
+    A = jnp.asarray(((U * sv) @ V.T).astype(np.float32))
+    r = bench(lambda a: rsvd(a, k, n_iter=2, config=cfg), A, reps=3)
+    Uk, sk, Vtk = rsvd(A, k, n_iter=2, config=cfg)
+    err = float(np.linalg.norm(
+        (np.asarray(Uk, np.float64) * np.asarray(sk, np.float64))
+        @ np.asarray(Vtk, np.float64) - np.asarray(A, np.float64), 2))
+    return {"config": f"x2: rsvd {m}x{n} rank {k} (q=2)",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "err2": float(f"{err:.3e}"),
+            "s_next": float(f"{0.9 ** k:.3e}"),
+            "backend": jax.default_backend()}
+
+
+def extras_lstsq_dist():
+    """Beyond-parity: distributed lstsq on the virtual 8-device mesh
+    (augmented-matrix CAQR; correctness, not wall-clock)."""
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import numpy as np, jax.numpy as jnp, json;"
+        "from cuda_qr_tpu.models.lstsq import lstsq_dist;"
+        "from cuda_qr_tpu.parallel.mesh import row_mesh;"
+        "from cuda_qr_tpu.utils.config import QRConfig;"
+        "mesh = row_mesh(8);"
+        "cfg = QRConfig(use_pallas=False);"
+        "rng = np.random.default_rng(12);"
+        "A = rng.standard_normal((2048, 256)).astype(np.float32);"
+        "b = rng.standard_normal((2048, 4)).astype(np.float32);"
+        "sol = lstsq_dist(jnp.asarray(A), jnp.asarray(b), mesh, cfg);"
+        "ref = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),"
+        " rcond=None)[0];"
+        "err = float(np.abs(np.asarray(sol.x) - ref).max());"
+        "print(json.dumps({'x_max_err': float('%%.3e' %% err),"
+        " 'ok': bool(err < 256 * 2e-6)}))" % REPO)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, check=True)
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    rec["config"] = "x3: lstsq_dist 2048x256 rhs 4 (P=8 virtual mesh)"
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -188,7 +278,10 @@ def main():
                lambda: config2b_fp64(args.quick),
                lambda: config3_tsqr(args.quick),
                lambda: config4_lstsq(args.quick),
-               config5_caqr):
+               config5_caqr,
+               lambda: extras_decomp(args.quick),
+               lambda: extras_rsvd(args.quick),
+               extras_lstsq_dist):
         t0 = time.time()
         rec = fn() if not isinstance(fn, str) else None
         rec["elapsed_s"] = round(time.time() - t0, 1)
