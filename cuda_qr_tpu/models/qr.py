@@ -131,8 +131,22 @@ def qr(A, config: QRConfig = DEFAULT_CONFIG, mode: str = "reduced"):
       factoring the left m x m block and applying Q^T to the rest.
     mode='complete': (Q (m x m), R (m x n)).
     mode='r': R only.
+    mode='raw': (h (n x m), tau (k,)) -- LAPACK geqrf packed storage,
+      transposed like numpy's raw mode; Householder-convention panels are
+      forced (the basis-kernel default stores a non-LAPACK V block).
+      2-D m >= n input only.
     """
     A = to_device(A)
+    if mode == "raw":
+        from ..utils.errors import QRShapeError
+        if A.ndim != 2 or A.shape[0] < A.shape[1]:
+            raise QRShapeError(
+                f"mode='raw' needs a single m >= n matrix, got {A.shape}")
+        m, n = A.shape
+        cfg = config if config.panel_method != "cholqr2_bk" \
+            else config.replace(panel_method="cholqr2_hr")
+        fac = qr_blocked(A, cfg)
+        return fac.packed[:m, :n].T, fac.taus.reshape(-1)[:n]
     if A.ndim > 2:  # leading batch dims via vmap, honoring the requested mode
         batch = A.shape[:-2]
         flat = A.reshape((-1,) + A.shape[-2:])

@@ -133,3 +133,33 @@ def null_space(A, rcond: float | None = None,
     Zfull = orgqr(lq.factors, n, n, config)           # complete (n, n)
     N = Zfull[:, r:]
     return jnp.zeros_like(N).at[jpvt[:n]].set(N)
+
+
+def slogdet(A, config: QRConfig = DEFAULT_CONFIG):
+    """(sign, logabsdet) of a square real matrix via QR.
+
+    |det A| = prod |diag R|; sign(det A) = sign(prod diag R) * det Q with
+    det Q = (-1)^(number of nontrivial reflectors) -- every Householder
+    H = I - tau v v^T with tau != 0 is a reflection (det -1), and the
+    zero-column guard's tau = 0 contributes identity.  Requires
+    Householder-convention panels, so the basis-kernel default is swapped
+    for the Householder-reconstruction path (same factorization contract,
+    genuine (v, tau) pairs).  Zero diagonal => sign 0 (singular), matching
+    numpy.linalg.slogdet.
+    """
+    from ..ops.blocked import qr_blocked
+    A = jnp.asarray(A)
+    m, n = A.shape
+    if m != n or jnp.iscomplexobj(A):
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"slogdet needs a square real matrix, got {A.shape}")
+    cfg = config if config.panel_method != "cholqr2_bk" \
+        else config.replace(panel_method="cholqr2_hr")
+    fac = qr_blocked(A, cfg)
+    d = jnp.diagonal(fac.packed)[:n]
+    taus = fac.taus.reshape(-1)[:n]
+    refl = jnp.sum((taus != 0).astype(jnp.int32))
+    sign_q = jnp.where(refl % 2 == 0, 1.0, -1.0).astype(d.dtype)
+    sign = jnp.where(jnp.any(d == 0), 0.0, jnp.prod(jnp.sign(d)) * sign_q)
+    logabs = jnp.sum(jnp.log(jnp.abs(d)))
+    return sign, logabs

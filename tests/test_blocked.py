@@ -203,3 +203,23 @@ def test_qr_wide_complete(rng):
     assert Q.shape == (16, 16) and R.shape == (16, 40)
     np.testing.assert_allclose(np.asarray(Q @ R), A, atol=1e-11)
     np.testing.assert_allclose(np.asarray(Q.T @ Q), np.eye(16), atol=1e-12)
+
+
+def test_qr_raw_mode_lapack_parity(rng):
+    """mode='raw' returns transposed LAPACK geqrf storage: rebuild Q from
+    (h, tau) with scipy and check the factorization."""
+    import scipy.linalg as sla
+    from cuda_qr_tpu.models.qr import qr
+    m, n = 96, 40
+    A = rng.standard_normal((m, n)).astype(np.float64)
+    h, tau = qr(A, CFG64, mode="raw")
+    h, tau = np.asarray(h), np.asarray(tau)
+    assert h.shape == (n, m) and tau.shape == (n,)
+    # R from the packed upper triangle
+    R = np.triu(h.T[:n])
+    # Q via LAPACK orgqr on the packed columns
+    from scipy.linalg.lapack import dorgqr
+    out = dorgqr(h.T[:, :n].copy(), tau)
+    Qr = out[0]
+    assert np.linalg.norm(Qr[:, :n] @ R - A) / np.linalg.norm(A) < 1e-13
+    assert np.linalg.norm(Qr[:, :n].T @ Qr[:, :n] - np.eye(n)) < 1e-12

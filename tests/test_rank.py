@@ -78,3 +78,21 @@ def test_null_space(rng):
 def test_null_space_full_rank(rng):
     A = rng.standard_normal((40, 24)).astype(np.float32)
     assert null_space(A, config=CFG).shape == (24, 0)
+
+
+@pytest.mark.parametrize("n", [16, 48, 130])
+def test_slogdet(rng, n):
+    from cuda_qr_tpu.models.rank import slogdet
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    sign, logabs = slogdet(A, config=CFG)
+    s_ref, l_ref = np.linalg.slogdet(A.astype(np.float64))
+    assert float(sign) == s_ref
+    assert abs(float(logabs) - l_ref) < n * 1e-5 * max(1.0, abs(l_ref))
+
+
+def test_slogdet_singular(rng):
+    from cuda_qr_tpu.models.rank import slogdet
+    A = rng.standard_normal((24, 24)).astype(np.float32)
+    A[:, 3] = 0.0
+    sign, logabs = slogdet(A, config=CFG)
+    assert float(sign) == 0.0
