@@ -280,6 +280,14 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
     def shard_fn(a):
         i = jax.lax.axis_index(ROW_AXIS)
         taus, Ts, tree = [], [], []
+        # Depth-1 lookahead (bk combine): the next panel's columns are
+        # updated FIRST each iteration and carried as their own value, so
+        # iteration kk+1's leaf chain and combine collectives depend only on
+        # this narrow block -- never on the wide trailing GEMM.  On real
+        # hardware the ICI psums of panel kk+1 can then overlap panel kk's
+        # MXU-bound wide update (async collectives); the per-column math is
+        # unchanged (larfb and the strip psum act columnwise).
+        panel = a[:, :nb]
         for kk in range(k):
             pcol = kk * nb
             owner = owner_of(kk)
@@ -288,18 +296,13 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
             dead = off >= mloc
 
             # 1. leaf factorization of my panel rows
-            panel = a[:, pcol:pcol + nb]
+            if combine != "bk":
+                panel = a[:, pcol:pcol + nb]
             lp, ltau = geqr2_dyn(panel, off, precision=prec)
             V = _unpack_v_dyn(lp, off)
             T = larft(V, ltau, precision=prec)
             a = a.at[:, pcol:pcol + nb].set(lp)
-
-            # 2. local trailing update (three MXU GEMMs)
             w = n - pcol - nb
-            if w:
-                a = a.at[:, pcol + nb:].set(
-                    larfb(a[:, pcol + nb:], V, T, transpose=True,
-                          precision=prec))
 
             # 3. combine the per-shard R blocks across the mesh
             sl = jnp.minimum(off, mloc - nb).astype(jnp.int32)
@@ -308,22 +311,37 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
 
             if combine == "bk":
                 Y_i, N, s, Rfin = _bk_combine(Rl, i, owner, P_, prec, dtype)
-                # 4. trailing strips: X' = G^T X = X - Y N^T psum(Y_i^T X_i)
-                if w:
+
+                def apply_leaf_tree(block):
+                    """Leaf larfb + tree strip psum on one column block:
+                    X' = G^T (I - V T^T V^T) X, rows sl..sl+nb via psum."""
+                    block = larfb(block, V, T, transpose=True, precision=prec)
                     strip = jax.lax.dynamic_slice(
-                        a, (sl, jnp.int32(pcol + nb)), (nb, w))
+                        block, (sl, jnp.int32(0)), (nb, block.shape[1]))
                     strip = jnp.where(dead, 0, strip)
                     C = jax.lax.psum(
                         jnp.einsum("ij,ik->jk", Y_i, strip, precision=prec),
                         ROW_AXIS)
-                    Z = jnp.einsum("ji,jk->ik", N, C, precision=prec)  # N^T C
+                    Z = jnp.einsum("ji,jk->ik", N, C, precision=prec)
                     newstrip = strip - jnp.einsum(
                         "ij,jk->ik", Y_i, Z, precision=prec)
                     upd = jax.lax.dynamic_update_slice(
-                        a, newstrip, (sl, jnp.int32(pcol + nb)))
-                    a = jnp.where(dead, a, upd)
+                        block, newstrip, (sl, jnp.int32(0)))
+                    return jnp.where(dead, block, upd)
+
+                if w:
+                    # narrow block first: panel kk+1, carried separately
+                    panel = apply_leaf_tree(a[:, pcol + nb:pcol + 2 * nb])
+                    if w > nb:
+                        a = a.at[:, pcol + 2 * nb:].set(
+                            apply_leaf_tree(a[:, pcol + 2 * nb:]))
                 tree.append((Y_i, N, s, Rfin))
             else:
+                # 2. local trailing update (three MXU GEMMs)
+                if w:
+                    a = a.at[:, pcol + nb:].set(
+                        larfb(a[:, pcol + nb:], V, T, transpose=True,
+                              precision=prec))
                 # gather all R blocks, owner first, stacked QR (redundant)
                 gathered = jax.lax.all_gather(Rl, ROW_AXIS)    # (P, nb, nb)
                 stacked = _roll_to_owner(gathered, owner, P_)  # (P*nb, nb)
