@@ -113,3 +113,27 @@ def test_fuzz_batched(seed):
     for i in range(B):
         assert np.linalg.norm(Qn[i].T @ Qn[i] - np.eye(n)) < 1e-5
         assert (np.diag(Rn[i]) >= 0).all()        # positive-diagonal convention
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_decomp_family(seed):
+    """lq/rq/ql at random shapes/dtypes: reconstruction + orthonormality."""
+    from cuda_qr_tpu.models.decomp import lq, ql, rq
+    rng = np.random.default_rng(500 + seed)
+    m = int(rng.integers(2, 150))
+    n = int(rng.integers(2, 150))
+    complex_ = seed % 2 == 1
+    A = rng.standard_normal((m, n))
+    if complex_:
+        A = A + 1j * rng.standard_normal((m, n))
+        A = A.astype(np.complex128)
+    fn = (lq, rq, ql)[seed % 3]
+    X, Y = fn(jnp.asarray(A), CFG)
+    X, Y = np.asarray(X), np.asarray(Y)
+    k = min(m, n)
+    eps = np.finfo(np.float64).eps
+    resid = np.linalg.norm(X @ Y - A) / max(np.linalg.norm(A), 1.0)
+    assert resid < 8 * max(m, n, 16) * eps, (seed, m, n, fn.__name__, resid)
+    Q = Y if fn in (lq, rq) else X
+    G = Q @ Q.conj().T if fn in (lq, rq) else Q.conj().T @ Q
+    assert np.linalg.norm(G - np.eye(k)) < 16 * max(m, n, 16) * eps
