@@ -135,13 +135,24 @@ def test_complex_tsqr(rng):
     _check(Q3, R3, A, 1e-4)
 
 
-def test_complex_caqr_rejected(rng):
+def test_complex_caqr_bk_rejected_allgather_ok(rng):
+    """The real-only basis-kernel combine rejects complex; the factor form
+    works with combine='allgather' + a complex config (the models.caqr
+    wrapper does this routing automatically -- test_caqr.py)."""
     import jax
     from cuda_qr_tpu.parallel.caqr import caqr_factor
-    from cuda_qr_tpu.parallel.mesh import row_mesh
+    from cuda_qr_tpu.parallel.mesh import row_mesh, row_sharding
     from cuda_qr_tpu.utils.errors import QRShapeError
     mesh = row_mesh(min(8, len(jax.devices())))
     P = mesh.shape["rows"]
     A = _crand(rng, P * 16, 16)
-    with pytest.raises(QRShapeError, match="real-only"):
-        caqr_factor(A, mesh, QRConfig(panel_width=16, use_pallas=False))
+    with pytest.raises(QRShapeError, match="allgather"):
+        caqr_factor(A, mesh, QRConfig(panel_width=16, use_pallas=False),
+                    combine="bk")
+    cfg = QRConfig(panel_width=16, dtype=jnp.complex64, use_pallas=False,
+                   use_chol_kernel=False)
+    Ad = jax.device_put(jnp.asarray(A), row_sharding(mesh))
+    _, R = caqr_factor(Ad, mesh, cfg, combine="allgather")
+    Rn = np.linalg.qr(np.asarray(A, np.complex128), mode="r")
+    assert np.allclose(np.abs(np.diagonal(np.asarray(R))),
+                       np.abs(np.diagonal(Rn)), rtol=1e-4)
