@@ -12,7 +12,7 @@ from .models.caqr import caqr, caqr_r
 from .models.decomp import lq, ql, qr_multiply, rq
 from .models.lstsq import LstsqResult, lstsq, lstsq_dist, solve
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
-from .models.rsvd import norm2_est, orth, rsvd, rsvd_dist
+from .models.rsvd import cond_est, norm2_est, orth, rsvd, rsvd_dist
 from .models.tsqr import tsqr, tsqr_r
 from .models.update import (qr_col_delete, qr_col_insert, qr_rank1_update,
                             qr_row_delete, qr_row_insert, qr_update)
@@ -34,7 +34,7 @@ __all__ = [
     "check_qr", "qr_batched", "qr_update", "qr_rank1_update", "qr_row_insert",
     "qr_row_delete", "qr_col_insert", "qr_col_delete",
     "tsqr", "tsqr_r", "tsqr_dist", "caqr", "caqr_r", "lstsq", "lstsq_dist", "solve", "LstsqResult",
-    "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist", "norm2_est",
+    "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist", "norm2_est", "cond_est",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
     "to_device", "to_host",
 ]

@@ -188,3 +188,55 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
     Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
     U = shard_mm(Q, Ub)
     return U[:, :k], s[:k], Vt[:k]
+
+
+def cond_est(A, n_iter: int = 12, key=None,
+             config: QRConfig = DEFAULT_CONFIG):
+    """2-norm condition number estimate of A (m >= n, full rank) via QR.
+
+    cond2(A) = cond2(R) (Q is orthogonal): one factorization, then block
+    power iteration on R^T R for sigma_max and on R^{-1} R^{-T} (two
+    triangular solves per step -- R is never inverted) for sigma_min.
+    Both iterates are lower bounds of their targets, so the estimate
+    approaches cond2(A) from below; numpy.linalg.cond needs a full SVD.
+    """
+    from .qr import qr
+    A = to_device(A)
+    m, n = A.shape
+    if m < n:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"cond_est needs m >= n, got {A.shape}")
+    R = qr(A, config, mode="r")
+    if key is None:
+        key = jax.random.PRNGKey(12)
+    smax = norm2_est(R, n_iter=n_iter, key=key, config=config)
+
+    # sigma_min(R) = 1 / ||R^{-1}||_2: power-iterate z -> R^{-1} R^{-T} z
+    prec = config.precision
+    ct = (lambda X: X.conj().T) if jnp.iscomplexobj(R) else (lambda X: X.T)
+    real_dtype = jnp.float64 if R.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    b = min(4, n)
+    X = jax.random.normal(jax.random.fold_in(key, 1), (n, b),
+                          dtype=real_dtype).astype(R.dtype)
+
+    import jax.scipy.linalg as jsl
+
+    def body(_, X):
+        Y = jsl.solve_triangular(ct(R), X, lower=True)    # R^{-T} X
+        Z = jsl.solve_triangular(R, Y, lower=False)       # R^{-1} Y
+        G = jnp.einsum("ij,ik->jk", Z.conj(), Z, precision=prec)
+        L = jnp.linalg.cholesky(G + jnp.finfo(real_dtype).tiny
+                                * jnp.eye(b, dtype=G.dtype))
+        return jsl.solve_triangular(L.conj(), Z.T, lower=True).T.astype(
+            R.dtype)
+
+    X = jax.lax.fori_loop(0, n_iter, body, X)
+    Y = jsl.solve_triangular(ct(R), X, lower=True)
+    Z = jsl.solve_triangular(R, Y, lower=False)
+    inv_norm_sq = jnp.max(
+        jnp.linalg.norm(Z, axis=0) / jnp.maximum(
+            jnp.linalg.norm(X, axis=0), jnp.finfo(real_dtype).tiny))
+    # one (R^-1 R^-T) application grows vectors by sigma_min^{-2}
+    smin = 1.0 / jnp.sqrt(inv_norm_sq)
+    return (smax / smin).real

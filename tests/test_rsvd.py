@@ -105,3 +105,15 @@ def test_rsvd_dist_matches_single(rng):
     err = np.linalg.norm((U * s) @ Vt - A, 2)
     assert err < 3 * s_ref[k]
     assert np.linalg.norm(U.T @ U - np.eye(k)) < 1e-4
+
+
+@pytest.mark.parametrize("target_cond", [10.0, 1e4])
+def test_cond_est(rng, target_cond):
+    m, n = 120, 40
+    U = np.linalg.qr(rng.standard_normal((m, n)))[0]
+    V = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    s = np.geomspace(1.0, 1.0 / target_cond, n)
+    A = ((U * s) @ V.T).astype(np.float32)
+    est = float(ctq.cond_est(A, n_iter=16, config=CFG))
+    ref = target_cond
+    assert 0.9 * ref < est < 1.05 * ref, (est, ref)
