@@ -11,6 +11,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import json
 import sys
 
+# NOTE: persistent-cache loads on the CPU backend log a spurious XLA
+# "prefer-no-gather not supported on the host" ERROR pair to stderr (a
+# same-host tuning-flag quirk; the machine-tagged cache dir in
+# utils/cache.py guards real cross-host moves).  It cannot be silenced
+# from here -- the container's sitecustomize imports jax before this file
+# runs -- but stdout carries only the JSON record.
+
 
 def main():
     from cuda_qr_tpu.utils.cache import enable_persistent_cache
@@ -114,7 +121,18 @@ if __name__ == "__main__":
     # (a retry compiles from its warm cache and succeeds in seconds) and
     # goes UNAVAILABLE for multi-minute stretches (it recovers on its own)
     # -- so back off between attempts instead of failing fast.
+    #
+    # Watchdog: when the tunnel is fully down, backend init inside main()
+    # BLOCKS forever (jax.devices() nanosleep-retries; no exception ever
+    # fires), which would hang the harness.  A hard exit after 45 min
+    # turns that into a recordable failure.  Generous bound: a cold 8192^2
+    # compile through the tunnel measured ~245 s, plus 3 reps.
+    import os
+    import threading
     import time
+    watchdog = threading.Timer(2700, lambda: os._exit(3))
+    watchdog.daemon = True
+    watchdog.start()
     for attempt in range(5):
         try:
             sys.exit(main())
