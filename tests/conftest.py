@@ -44,3 +44,22 @@ def _clear_jax_caches_between_modules():
     """
     yield
     jax.clear_caches()
+
+
+_TEST_TICKS = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_every_20_tests():
+    """Module-boundary clearing is not enough anymore: a single heavily
+    parametrized module (test_update.py at ~340-test suite size) can
+    accumulate enough live XLA:CPU executables to hit the
+    backend_compile_and_load segfault mid-module (observed 2026-08-18:
+    pytest died silently at test 322 with no summary).  Clear every 20
+    tests as well; recompiles are cheap relative to a dead suite."""
+    yield
+    _TEST_TICKS["n"] += 1
+    if _TEST_TICKS["n"] % 20 == 0:
+        import gc
+        jax.clear_caches()
+        gc.collect()
