@@ -35,15 +35,29 @@ class LstsqResult(NamedTuple):
 
 
 def lstsq(A: jnp.ndarray, b: jnp.ndarray,
-          config: QRConfig = DEFAULT_CONFIG) -> LstsqResult:
+          config: QRConfig = DEFAULT_CONFIG, damp: float = 0.0) -> LstsqResult:
     """Solve min_x ||A x - b|| for m >= n full-rank A; b is (m,) or (m, k).
 
+    damp > 0 solves the ridge problem min ||A x - b||^2 + damp^2 ||x||^2
+    (scipy lsqr's damp) by factoring the stacked [A; damp*I] system --
+    backward-stable regularization without forming A^T A; the reported
+    residual_norm is then the *augmented* norm, which includes the
+    damp*||x|| term.
+
     The residual norm comes for free as ||(Q^T b)[n:]|| -- no extra GEMM.
-    Differentiable in (A, b); see the module docstring for the VJP.
+    Differentiable in (A, b); see the module docstring for the VJP (the
+    damped path composes the same VJP through the stack's slice adjoint).
     """
     # Route host inputs through to_device BEFORE jit's own device_put:
     # complex numpy operands must not cross the tunnel raw (utils/hostio.py).
-    return _lstsq_jit(to_device(A), to_device(b), config)
+    A, b = to_device(A), to_device(b)
+    if damp:
+        n = A.shape[1]
+        As = jnp.concatenate(
+            [A, damp * jnp.eye(n, dtype=A.dtype)], axis=0)
+        pad = jnp.zeros((n,) + b.shape[1:], dtype=b.dtype)
+        return _lstsq_jit(As, jnp.concatenate([b, pad], axis=0), config)
+    return _lstsq_jit(A, b, config)
 
 
 def _lstsq_math(A: jnp.ndarray, B: jnp.ndarray, config: QRConfig):

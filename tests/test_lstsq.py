@@ -104,3 +104,41 @@ class TestGradients:
               - jnp.sum(lstsq(A.at[2, 3].add(-e), bv, self.CFG).x ** 2)) \
             / (2 * e)
         assert abs(fd - g[2, 3]) < 1e-5
+
+
+def test_lstsq_damped_matches_normal_equations(rng):
+    m, n, lam = 80, 24, 0.7
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal((m, 2))
+    res = lstsq(jnp.asarray(A), jnp.asarray(b), CFG, damp=lam)
+    # ridge solution: (A^T A + lam^2 I) x = A^T b
+    x_ref = np.linalg.solve(A.T @ A + lam**2 * np.eye(n), A.T @ b)
+    assert np.allclose(np.asarray(res.x), x_ref, atol=1e-10)
+    # augmented residual norm
+    r_ref = np.sqrt(np.linalg.norm(A @ x_ref - b, axis=0) ** 2
+                    + lam**2 * np.linalg.norm(x_ref, axis=0) ** 2)
+    assert np.allclose(np.asarray(res.residual_norm), r_ref, rtol=1e-8)
+
+
+def test_lstsq_damped_grad(rng):
+    import jax
+    m, n = 30, 8
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+
+    def loss(A, b):
+        return jnp.sum(lstsq(A, b, CFG, damp=0.5).x ** 2)
+
+    g_A, g_b = jax.grad(loss, argnums=(0, 1))(A, b)
+    # finite-difference check on one entry each
+    eps = 1e-6
+    for (g, arr, idx, setter) in [
+        (g_A[3, 2], A, (3, 2), lambda a, v: a.at[3, 2].add(v)),
+        (g_b[5], b, 5, lambda a, v: a.at[5].add(v)),
+    ]:
+        if arr is A:
+            fp = loss(setter(A, eps), b); fm = loss(setter(A, -eps), b)
+        else:
+            fp = loss(A, setter(b, eps)); fm = loss(A, setter(b, -eps))
+        fd = (fp - fm) / (2 * eps)
+        assert abs(float(g) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
