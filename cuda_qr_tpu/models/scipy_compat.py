@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .update import (qr_col_delete, qr_col_insert, qr_rank1_update,
+from .update import (qr_col_delete, qr_col_insert,
                      qr_row_delete, qr_row_insert)
 from .update import qr_update as _qr_update_k
 
