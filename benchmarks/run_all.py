@@ -316,6 +316,10 @@ host, so only residual/orthogonality are meaningful):
 |---|---|---|---|---|---|
 | 16 | cyclic | 2048x1024 | 1.83e-06 | 4.32e-05 | yes |
 | 32 | block | 4096x1024 | 1.89e-06 | 2.95e-05 | yes |
+
+(Both rows re-run after the depth-1 lookahead restructure of the bk panel
+loop -- residual/orthogonality unchanged at print precision, confirming
+the carried next-panel block is numerically transparent at wide meshes.)
 """
 
 FEASIBILITY_65536 = """\
