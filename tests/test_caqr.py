@@ -199,3 +199,18 @@ def test_caqr_ormqr_matches_explicit_q(rng, mesh, combine, layout):
     back = caqr_ormqr(factors, QtB, mesh, cfg, layout=layout,
                       transpose=False)
     assert np.allclose(np.asarray(back), Bs, atol=n * 1e-6)
+
+
+def test_lstsq_dist_misaligned_shapes(rng, mesh):
+    """m not divisible by P, n not a panel multiple: padding must be
+    transparent (zero rows/columns fall out of the augmented triangle)."""
+    from cuda_qr_tpu.models.lstsq import lstsq_dist
+    cfg = QRConfig(panel_width=8, use_pallas=False)
+    A = rng.standard_normal((100, 20)).astype(np.float32)
+    b = rng.standard_normal(100).astype(np.float32)
+    got = lstsq_dist(jnp.asarray(A), jnp.asarray(b), mesh, cfg)
+    ref = np.linalg.lstsq(A.astype(np.float64), b.astype(np.float64),
+                          rcond=None)[0]
+    assert np.abs(np.asarray(got.x) - ref).max() < 20 * 1e-6
+    assert abs(float(got.residual_norm)
+               - np.linalg.norm(A @ ref - b)) < 1e-4
