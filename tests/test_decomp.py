@@ -163,3 +163,18 @@ def test_qr_multiply_bad_args(rng):
     with pytest.raises(ctq.QRShapeError):
         ctq.qr_multiply(A, rng.standard_normal((10, 2)).astype(np.float32),
                         mode="sideways")
+
+
+def test_lq_differentiable(rng):
+    """lq/rq/ql inherit the thin-QR custom VJP through transposes/flips."""
+    import jax
+    A = jnp.asarray(rng.standard_normal((10, 24)))  # wide -> lq reduced
+
+    def loss(A):
+        L, Q = ctq.lq(A, config=CFG64)
+        return jnp.sum(L ** 2) + jnp.sum(Q[:, 0] ** 3)
+
+    g = jax.grad(loss)(A)
+    eps = 1e-6
+    fd = (loss(A.at[2, 5].add(eps)) - loss(A.at[2, 5].add(-eps))) / (2 * eps)
+    assert abs(float(g[2, 5]) - float(fd)) < 1e-5 * max(1.0, abs(float(fd)))
