@@ -25,7 +25,7 @@ from .utils.errors import QRError, QRNumericalError, QRShapeError
 from .utils.hostio import to_device, to_host
 from .utils.verify import QRCheck, check_qr
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "qr", "qr_factor", "qr_pivoted", "QRResult", "PackedQR", "qr_blocked", "orgqr", "ormqr",
