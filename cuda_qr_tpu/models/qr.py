@@ -103,10 +103,11 @@ def qr_pivoted(A, config: QRConfig = DEFAULT_CONFIG, rank: int | None = None,
     from ..utils.geometry import round_up
     A = to_device(A)
     if jnp.iscomplexobj(A):
-        from ..utils.errors import QRShapeError
-        raise QRShapeError(
-            "qr_pivoted is real-only (the randomized sketch / pivot "
-            "selection kernels take real Grams); use qr() for complex")
+        # complex: Householder panels + jnp pivot selection (ops/qrcp.py
+        # routes this); pivots are chosen on |column|^2 sketch norms.
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False,
+                                use_select_kernel=False)
     m, n = A.shape
     nb = config.panel_width
     num_panels = None

@@ -31,12 +31,23 @@ from ..ops.qrcp import qrcp_blocked
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 
 
+def _complexify(config: QRConfig, A) -> QRConfig:
+    """Complex input: Householder panels + complex dtype (same routing as
+    qr_blocked / qrcp_blocked); identity for real input."""
+    if jnp.iscomplexobj(A):
+        return config.replace(dtype=A.dtype, use_pallas=False,
+                              use_chol_kernel=False, use_select_kernel=False)
+    return config
+
+
 def _qrcp_with_rank(A, config: QRConfig, rcond):
     """Shared front half: QRCP factor + host-side rank decision.
 
-    Returns (factors, piv (n_pad,), Rfull (kb x n_pad), r).
+    Returns (factors, piv (n_pad,), Rfull (kb x n_pad), r, config) with
+    config already complex-adjusted.
     """
     A = jnp.asarray(A)
+    config = _complexify(config, A)
     m, n = A.shape
     factors, jpvt, R12 = qrcp_blocked(A, config)
     kb = factors.packed.shape[1]
@@ -45,7 +56,7 @@ def _qrcp_with_rank(A, config: QRConfig, rcond):
     if rcond is None:
         rcond = max(m, n) * float(jnp.finfo(R.dtype).eps)
     r = int((d > rcond * (d[0] if d.size else 0.0)).sum())
-    return factors, jpvt, R, r
+    return factors, jpvt, R, r, config
 
 
 def matrix_rank(A, rcond: float | None = None,
@@ -55,7 +66,7 @@ def matrix_rank(A, rcond: float | None = None,
     rcond defaults to max(m, n) * eps(dtype) relative to |R_00| -- the
     numpy.linalg.matrix_rank convention, but O(mn^2) QR instead of SVD.
     """
-    _, _, _, r = _qrcp_with_rank(A, config, rcond)
+    _, _, _, r, _ = _qrcp_with_rank(A, config, rcond)
     return r
 
 
@@ -68,7 +79,7 @@ def lstsq_rr(A, b, rcond: float | None = None,
     """
     A = jnp.asarray(A)
     m, n = A.shape
-    factors, jpvt, R, r = _qrcp_with_rank(A, config, rcond)
+    factors, jpvt, R, r, config = _qrcp_with_rank(A, config, rcond)
     vec = b.ndim == 1
     B = jnp.asarray(b)
     B = (B[:, None] if vec else B).astype(config.dtype)
@@ -86,9 +97,9 @@ def lstsq_rr(A, b, rcond: float | None = None,
     # LQ of R1 via QR of R1^T: R1^T = Z^T T^T with Z^T (n, r) orthonormal
     # columns, T (r, r) lower-triangular.
     from .qr import qr_factor
-    lq = qr_factor(R1.T, config)
-    Zt = lq.Q                                         # (n, r)
-    T_low = lq.R.T                                    # (r, r) lower
+    lq = qr_factor(R1.conj().T, config)
+    Zt = lq.Q                                         # (n, r) = Z^H
+    T_low = lq.R.conj().T                             # (r, r) lower
     y = jsl.solve_triangular(T_low, QtB[:r], lower=True)
     xz = Zt @ y                                       # (n, nrhs), permuted
     x = jnp.zeros((n, nrhs), xz.dtype).at[jpvt[:n]].set(xz)
@@ -104,15 +115,15 @@ def pinv(A, rcond: float | None = None,
     A^+ = P Z^T T^{-1} Q1^T -- O(mn^2), no SVD."""
     A = jnp.asarray(A)
     m, n = A.shape
-    factors, jpvt, R, r = _qrcp_with_rank(A, config, rcond)
+    factors, jpvt, R, r, config = _qrcp_with_rank(A, config, rcond)
     if r == 0:
         return jnp.zeros((n, m), config.dtype)
     R1 = R[:r, :n]
     from .qr import qr_factor
-    lq = qr_factor(R1.T, config)
-    Zt, T_low = lq.Q, lq.R.T
+    lq = qr_factor(R1.conj().T, config)
+    Zt, T_low = lq.Q, lq.R.conj().T
     Q1 = orgqr(factors, m, factors.packed.shape[1], config)[:, :r]  # (m, r)
-    W = jsl.solve_triangular(T_low, Q1.T, lower=True)               # (r, m)
+    W = jsl.solve_triangular(T_low, Q1.conj().T, lower=True)        # (r, m)
     return jnp.zeros((n, m), Zt.dtype).at[jpvt[:n]].set(Zt @ W)
 
 
@@ -122,14 +133,14 @@ def null_space(A, rcond: float | None = None,
     the trailing complete-Q columns of the COD's LQ step, unpermuted."""
     A = jnp.asarray(A)
     m, n = A.shape
-    factors, jpvt, R, r = _qrcp_with_rank(A, config, rcond)
+    factors, jpvt, R, r, config = _qrcp_with_rank(A, config, rcond)
     if r >= n:
         return jnp.zeros((n, 0), config.dtype)
     if r == 0:
         return jnp.eye(n, dtype=config.dtype)
     R1 = R[:r, :n]
     from .qr import qr_factor
-    lq = qr_factor(R1.T, config)
+    lq = qr_factor(R1.conj().T, config)
     Zfull = orgqr(lq.factors, n, n, config)           # complete (n, n)
     N = Zfull[:, r:]
     return jnp.zeros_like(N).at[jpvt[:n]].set(N)

@@ -46,7 +46,7 @@ def orth(A, rcond: float | None = None, config: QRConfig = DEFAULT_CONFIG):
         return _thin_qr(A, config)
     from ..ops.blocked import orgqr
     from .rank import _qrcp_with_rank
-    factors, _, _, r = _qrcp_with_rank(A, config, rcond)
+    factors, _, _, r, config = _qrcp_with_rank(A, config, rcond)
     r = max(r, 1)  # a zero matrix still has a (trivial) 1-col basis slot
     kb = factors.packed.shape[1]
     return orgqr(factors, A.shape[0], kb, config)[:, :r]

@@ -64,7 +64,9 @@ def _select_pivots(B, j0, nb, cand, prec, config=None):
     l, n_pad = B.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (n_pad,), 0)
     active = col >= j0
-    norms = jnp.where(active, jnp.sum(B * B, axis=0), -1.0)
+    rdt = jnp.zeros((), B.dtype).real.dtype  # norms stay real
+    norms = jnp.where(active, jnp.sum((B * B.conj()).real, axis=0),
+                      jnp.asarray(-1.0, rdt))
 
     # Candidate subset: the cand largest sketch norms.  active count is
     # always >= nb, and actives (norm >= 0) always outrank inactives (-1),
@@ -85,18 +87,19 @@ def _select_pivots(B, j0, nb, cand, prec, config=None):
         Sc, norms_c, ord_c = carry
         p = jnp.argmax(norms_c).astype(jnp.int32)
         q = jax.lax.dynamic_slice(Sc, (jnp.int32(0), p), (l, 1))
-        nq = jnp.sqrt(jnp.maximum(jnp.sum(q * q), 0))
-        qn = q * jnp.where(nq > 0, 1 / nq, 0)
-        proj = jnp.einsum("ri,rj->ij", qn, Sc, precision=prec)  # (1, cand)
+        nq = jnp.sqrt(jnp.maximum(jnp.sum((q * q.conj()).real), 0))
+        qn = q * jnp.where(nq > 0, 1 / nq, 0).astype(q.dtype)
+        proj = jnp.einsum("ri,rj->ij", qn.conj(), Sc,
+                          precision=prec)  # (1, cand) = qn^H Sc
         Sc = Sc - qn * proj
-        nn = jnp.maximum(norms_c - proj[0] * proj[0], 0)
+        nn = jnp.maximum(norms_c - (proj[0] * proj[0].conj()).real, 0)
         norms_c = jnp.where((iota_c == p) | (norms_c < 0), -1.0, nn)
         ord_c = jnp.where(iota_c == p, i, ord_c)
         return Sc, norms_c, ord_c
 
     ord_c0 = jnp.full((cand,), -1, jnp.int32)
     _, _, ord_c = jax.lax.fori_loop(
-        0, nb, body, (Sc, norms_c.astype(B.dtype), ord_c0))
+        0, nb, body, (Sc, norms_c.astype(rdt), ord_c0))
     ordsel = jnp.full((n_pad,), -1, jnp.int32).at[cand_idx].set(ord_c)
     return ordsel
 
@@ -138,6 +141,12 @@ def qrcp_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
     if m < n:
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"qrcp_blocked requires m >= n, got {m}x{n}")
+    if jnp.iscomplexobj(A):
+        # complex QRCP: Householder panels (geqr2), jnp pivot selection
+        # (the Mosaic select kernel is real-only), complex Gaussian sketch.
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False,
+                                use_select_kernel=False)
     nb = config.panel_width
     A = _pad(A.astype(config.dtype), nb)
     m_pad, n_pad = A.shape
@@ -182,8 +191,8 @@ def qrcp_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG,
 
         # Trailing update A <- (I - V T V^T)^T A on columns >= j0+nb.
         Tc = T.astype(tdt)
-        W = jnp.einsum("ri,rj->ij", V, A, precision=prec)
-        W = jnp.einsum("ij,ik->jk", Tc, W, precision=prec)
+        W = jnp.einsum("ri,rj->ij", V.conj(), A, precision=prec)   # V^H A
+        W = jnp.einsum("ij,ik->jk", Tc.conj(), W, precision=prec)  # T^H ...
         U = jnp.einsum("ri,ij->rj", V, W, precision=prec)
         A = A - jnp.where(cmask >= j0 + nb, U, 0).astype(A.dtype)
 

@@ -96,3 +96,40 @@ def test_slogdet_singular(rng):
     A[:, 3] = 0.0
     sign, logabs = slogdet(A, config=CFG)
     assert float(sign) == 0.0
+
+
+def _crand(rng, *shape):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+
+def test_qr_pivoted_complex(rng):
+    from cuda_qr_tpu.models.qr import qr_pivoted
+    A = _crand(rng, 60, 40)
+    Q, R, piv = qr_pivoted(A, config=CFG)
+    Q, R = np.asarray(Q, np.complex128), np.asarray(R, np.complex128)
+    resid = np.linalg.norm(Q @ R - A[:, piv]) / np.linalg.norm(A)
+    assert resid < 40 * 1.2e-7
+    assert np.linalg.norm(Q.conj().T @ Q - np.eye(40)) < 1e-4
+    assert sorted(piv.tolist()) == list(range(40))
+
+
+def test_complex_rank_family(rng):
+    """matrix_rank / pinv / null_space / lstsq_rr on a complex rank-12
+    50x30 matrix; lstsq_rr checked against the truncated-SVD minimum-norm
+    solution (numpy lstsq's rcond=None keeps fp32 noise directions)."""
+    A = _crand(rng, 50, 12) @ _crand(rng, 12, 30)
+    assert matrix_rank(A, config=CFG) == 12
+    P = np.asarray(pinv(A, config=CFG), np.complex128)
+    assert np.linalg.norm(A @ P @ A - A) / np.linalg.norm(A) < 1e-5
+    N = np.asarray(null_space(A, config=CFG), np.complex128)
+    assert N.shape == (30, 18)
+    assert np.linalg.norm(A @ N) < 1e-3
+    assert np.linalg.norm(N.conj().T @ N - np.eye(18)) < 1e-5
+    b = _crand(rng, 50)
+    x, res, r, piv = lstsq_rr(A, b, config=CFG)
+    assert r == 12
+    U, S, Vh = np.linalg.svd(A.astype(np.complex128), full_matrices=False)
+    xsvd = Vh[:12].conj().T @ ((U[:, :12].conj().T @ b.astype(np.complex128))
+                               / S[:12])
+    assert np.abs(np.asarray(x, np.complex128) - xsvd).max() < 1e-5
