@@ -141,7 +141,8 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
     power iteration the wire carries O(n*ell + ell^2) words, never a row
     of A.  Returns (U (m x k) row-sharded, s (k,), Vt (k x n) replicated).
 
-    Needs m % P == 0 and real A (the sketch Gram combines are real).
+    Needs m % P == 0.  Complex input routes the thin QRs to tsqr_dist's
+    allgather (Householder) combine; the psum'd projections conjugate.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as SpecP
@@ -155,10 +156,14 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
     if not 1 <= k <= min(m, n):
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"rank k must be in [1, {min(m, n)}], got {k}")
-    if m % P_ or jnp.iscomplexobj(A):
+    if m % P_:
         from ..utils.errors import QRShapeError
-        raise QRShapeError(f"rsvd_dist needs real A with m % P == 0; "
+        raise QRShapeError(f"rsvd_dist needs m % P == 0; "
                            f"got {m} rows on {P_} shards")
+    if jnp.iscomplexobj(A):
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False,
+                                tsqr_leaf="householder")
     if key is None:
         key = jax.random.PRNGKey(12)
     prec = config.precision
@@ -167,9 +172,9 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
     def local_mm(a, x):            # (mloc, n) @ (n, ell), row-sharded out
         return jnp.einsum("ij,jk->ik", a, x, precision=prec)
 
-    def reduced_tmm(a, q):         # psum of (n, mloc) @ (mloc, ell)
+    def reduced_tmm(a, q):         # psum of A_i^H Q_i: (n, ell)
         return jax.lax.psum(
-            jnp.einsum("ji,jk->ik", a, q, precision=prec), ROW_AXIS)
+            jnp.einsum("ji,jk->ik", a.conj(), q, precision=prec), ROW_AXIS)
 
     shard_mm = shard_map(local_mm, mesh=mesh,
                          in_specs=(SpecP(ROW_AXIS, None), SpecP()),
@@ -179,12 +184,14 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
                                     SpecP(ROW_AXIS, None)),
                           out_specs=SpecP(), check_vma=False)
 
+    cplx = jnp.iscomplexobj(A)
+    strategy = "allgather" if cplx else "cholesky"
     Om = jax.random.normal(key, (n, ell), dtype=jnp.float32).astype(A.dtype)
-    Q = tsqr_dist(shard_mm(A, Om), mesh, config)[0]
+    Q = tsqr_dist(shard_mm(A, Om), mesh, config, strategy=strategy)[0]
     for _ in range(n_iter):
         Z = qr(shard_tmm(A, Q), config, mode="reduced")[0]  # replicated
-        Q = tsqr_dist(shard_mm(A, Z), mesh, config)[0]
-    B = shard_tmm(A, Q).T                                   # (ell, n)
+        Q = tsqr_dist(shard_mm(A, Z), mesh, config, strategy=strategy)[0]
+    B = shard_tmm(A, Q).conj().T                            # (ell, n) = Q^H A
     Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
     U = shard_mm(Q, Ub)
     return U[:, :k], s[:k], Vt[:k]

@@ -117,3 +117,18 @@ def test_cond_est(rng, target_cond):
     est = float(ctq.cond_est(A, n_iter=16, config=CFG))
     ref = target_cond
     assert 0.9 * ref < est < 1.05 * ref, (est, ref)
+
+
+def test_rsvd_dist_complex(rng):
+    from cuda_qr_tpu.parallel.mesh import row_mesh
+    mesh = row_mesh(8)
+    m, n, k = 8 * 24, 32, 5
+    A = (_low_rank(rng, m, n, 12, 0.7)
+         + 1j * _low_rank(rng, m, n, 12, 0.7)).astype(np.complex64)
+    U, s, Vt = ctq.rsvd_dist(A, k, mesh, p=6, n_iter=2, config=CFG)
+    U, s, Vt = (np.asarray(x) for x in (U, s, Vt))
+    s_ref = np.linalg.svd(A.astype(np.complex128), compute_uv=False)
+    assert np.allclose(s, s_ref[:k], rtol=1e-3)
+    err = np.linalg.norm((U * s) @ Vt - A, 2)
+    assert err < 3 * s_ref[k]
+    assert np.linalg.norm(U.conj().T @ U - np.eye(k)) < 1e-4
