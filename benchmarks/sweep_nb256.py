@@ -6,7 +6,10 @@ number) plus host-f64 residual/orthogonality for each config.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -62,9 +65,12 @@ def main():
 
         rq = bench(qr_full, A, reps=3)
 
+        # Residual norms in a SEPARATE small program over qr_full's outputs:
+        # inlining qr_full into a residuals jit would compile the whole
+        # factor+orgqr pipeline a third time per config (~minutes each
+        # through the remote tunnel, measured).
         @jax.jit
-        def residuals(a, c=cfg):
-            Q, R = qr_full(a, c)
+        def residuals(a, Q, R):
             resid = jnp.linalg.norm(
                 jnp.einsum("ij,jk->ik", Q, R, precision=H) - a
             ) / jnp.linalg.norm(a)
@@ -73,7 +79,9 @@ def main():
                 - jnp.eye(n, dtype=a.dtype))
             return resid, orth
 
-        resid, orth = (float(x) for x in residuals(A))
+        Qf, Rf = qr_full(A)
+        resid, orth = (float(x) for x in residuals(A, Qf, Rf))
+        del Qf, Rf
         print(json.dumps({
             "config": name, "factor_ms": round(r.steady_s * 1e3, 1),
             "gflops": round(r.gflops, 0),

@@ -10,7 +10,10 @@ Prints one JSON line per size with the speedup columns, then a summary.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # timing.txt:4-13 (seconds).
 REFERENCE = {

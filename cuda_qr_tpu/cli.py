@@ -25,6 +25,7 @@ Commands:
   update m n   -- rank-1 qr_update benchmark vs a full refactor
   decomp k m n -- LQ/RQ/QL benchmark + verification (k in {lq, rq, ql})
   rsvd m n     -- randomized rank-k SVD benchmark on a decaying spectrum
+  polar m n    -- QDWH polar decomposition benchmark + verification
 """
 
 from __future__ import annotations
@@ -334,6 +335,38 @@ def cmd_decomp(args):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_polar(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.polar import polar
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    # controllable conditioning so the QDWH schedule is exercised honestly
+    k = min(args.m, args.n)
+    U = np.linalg.qr(rng.standard_normal((args.m, k)))[0]
+    V = np.linalg.qr(rng.standard_normal((args.n, k)))[0]
+    s = np.geomspace(1.0, 1.0 / max(args.cond, 1.0), k)
+    A = jnp.asarray((U * s) @ V.T, dtype=cfg.dtype)
+    r = bench(lambda a: polar(a, config=cfg), A, reps=args.trials)
+    rec = {"cmd": "polar", "m": args.m, "n": args.n, "cond": args.cond,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        Up, Hp = polar(A, config=cfg)
+        Up = np.asarray(Up, np.float64)
+        Hp = np.asarray(Hp, np.float64)
+        A64 = np.asarray(A, np.float64)
+        UU = Up.T @ Up if args.m >= args.n else Up @ Up.T
+        orth = float(np.linalg.norm(UU - np.eye(k)))
+        resid = float(np.linalg.norm(Up @ Hp - A64) / np.linalg.norm(A64))
+        rec |= {"residual": resid, "orthogonality": orth,
+                "ok": resid < k * 1.2e-7 and orth < k * 1.2e-7}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def cmd_rsvd(args):
     import numpy as np
     import jax.numpy as jnp
@@ -426,6 +459,10 @@ def main(argv=None):
     sp.add_argument("--rank", type=int, default=16)
     sp.add_argument("--iters", type=int, default=2)
     sp.add_argument("--decay", type=float, default=0.8)
+    sp = sub.add_parser("polar")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--cond", type=float, default=100.0)
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
@@ -433,14 +470,15 @@ def main(argv=None):
     for dim in ("m", "n", "k", "pr", "pc", "b"):
         if getattr(args, dim, 1) < 1:
             p.error(f"{dim} must be >= 1, got {getattr(args, dim)}")
-    if (args.cmd not in ("decomp", "rsvd")  # those take wide inputs
+    if (args.cmd not in ("decomp", "rsvd", "polar")  # those take wide inputs
             and getattr(args, "n", 0) > getattr(args, "m", 0)):
         p.error(f"need n <= m, got m={args.m} n={args.n}")
     return {"factor": cmd_factor, "tsqr": cmd_tsqr, "lstsq": cmd_lstsq,
             "compare": cmd_compare, "oracle": cmd_oracle,
             "caqr": cmd_caqr, "pivoted": cmd_pivoted,
             "batched": cmd_batched, "update": cmd_update,
-            "decomp": cmd_decomp, "rsvd": cmd_rsvd}[args.cmd](args)
+            "decomp": cmd_decomp, "rsvd": cmd_rsvd,
+            "polar": cmd_polar}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,228 @@
+"""Polar decomposition A = U H by QR-based dynamically weighted Halley (QDWH).
+
+Beyond-parity capability on top of the blocked-QR core (the reference stops
+at the factorization itself, qr.cu:475-553): QDWH (Nakatsukasa, Bai & Gygi
+2010; Nakatsukasa & Higham 2013) computes the unitary polar factor with a
+cubically convergent Halley iteration whose building blocks are exactly this
+library's hot paths -- a tall stacked QR per early iteration and a few n x n
+GEMMs + one small Cholesky per late iteration.  Everything maps to the MXU;
+there is no SVD anywhere.
+
+TPU-first design choice: the Halley weights (a_k, b_k, c_k) depend only on
+the scalar lower bound l_k of sigma_min(X_k), and l_0 is chosen *statically*
+from the dtype (a floor just below machine eps, valid for any numerically
+nonsingular input).  The whole weight schedule -- including the QR-step vs
+Cholesky-step switch (c_k > 100, the standard stability threshold) and the
+iteration count -- is therefore computed at trace time in Python floats, so
+the jitted program is a fixed straight-line sequence of GEMM/QR/Cholesky
+stages with no data-dependent control flow (SURVEY.md S7's "compile-time
+config" stance).  The price of the pessimistic l_0 is at most one extra
+iteration (schedule length grows ~log log(1/l0)).
+
+Iteration (X_0 = A/alpha, alpha >= ||A||_2):
+    QR step:    [Q1; Q2] R = qr([sqrt(c) X; I]);
+                X <- (b/c) X + (1/sqrt(c)) (a - b/c) Q1 Q2^H
+    Chol step:  Z = I + c X^H X;  W = chol(Z);
+                X <- (b/c) X + (a - b/c) (X W^{-H}) W^{-1}
+Both are algebraically X (aI + b X^H X)(I + c X^H X)^{-1}; the QR form is
+inverse-free and stable for the huge early c_k, the Cholesky form costs
+~half once c_k is O(1).  Complex input uses QR steps throughout (the fused
+small-Cholesky recursion is real-only; the Householder core is cgeqrf-
+convention complex-safe).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.householder import _einsum, _h
+from ..utils.config import DEFAULT_CONFIG, QRConfig
+from ..utils.errors import QRShapeError
+from ..utils.hostio import to_device
+from .qr import qr
+from .tsqr import tsqr
+
+_CHOL_C_MAX = 100.0  # Nakatsukasa-Higham switch: Chol step is stable below
+
+
+def _qdwh_schedule(l0: float, eps: float, max_iter: int = 24):
+    """Static (a, b, c, use_qr) weight schedule from the scalar recurrence.
+
+    l0 is a lower bound for sigma_min(X0) in (0, 1]; the recurrence
+    l <- l (a + b l^2)/(1 + c l^2) converges to 1 cubically, so ~6 steps
+    cover l0 = 1e-17.  Stops once |1 - l| <= 5 eps (the iteration is then a
+    no-op to working precision).
+    """
+    steps = []
+    l = min(max(l0, 1e-17), 1.0)
+    for _ in range(max_iter):
+        if 1.0 - l <= 5.0 * eps:
+            break
+        l2 = l * l
+        d = (4.0 * (1.0 - l2) / (l2 * l2)) ** (1.0 / 3.0)
+        sq = math.sqrt(1.0 + d)
+        a = sq + 0.5 * math.sqrt(8.0 - 4.0 * d + 8.0 * (2.0 - l2) / (l2 * sq))
+        b = (a - 1.0) ** 2 / 4.0
+        c = a + b - 1.0
+        steps.append((a, b, c, c > _CHOL_C_MAX))
+        l = l * (a + b * l2) / (1.0 + c * l2)
+    return steps
+
+
+def _thin_q2(Y, config: QRConfig):
+    """Thin Q of the stacked (m+n) x n QDWH matrix."""
+    m, n = Y.shape
+    if (n <= config.panel_width and m >= 2 * n
+            and not jnp.iscomplexobj(Y)):
+        return tsqr(Y, config)[0]
+    return qr(Y, config, mode="reduced")[0]
+
+
+def _qdwh_core(X, schedule, config: QRConfig, prec):
+    """Run the static QDWH schedule on X (m x n, spectrum in [l0, 1])."""
+    m, n = X.shape
+    dt = X.dtype
+    cplx = jnp.iscomplexobj(X)
+    eye = jnp.eye(n, dtype=dt)
+    for a, b, c, use_qr in schedule:
+        bc = b / c
+        if use_qr or cplx:
+            sc = math.sqrt(c)
+            stacked = jnp.concatenate([(sc * X.astype(dt)), eye], axis=0)
+            Q = _thin_q2(stacked, config)
+            Q1, Q2 = Q[:m], Q[m:]
+            X = (bc * X
+                 + ((a - bc) / sc) * _einsum("ik,jk->ij", Q1, _h(Q2),
+                                             precision=prec)).astype(dt)
+        else:
+            from ..ops.smalllinalg import cholesky_with_inv
+            G = _einsum("ki,kj->ij", _h(X), X, precision=prec)
+            Z = eye + jnp.asarray(c, dt) * G
+            _, Li = cholesky_with_inv(Z, precision=prec)
+            # X Z^{-1} = (X L^{-H}) L^{-1}  with  Z = L L^H
+            XL = _einsum("ik,jk->ij", X, _h(Li), precision=prec)
+            X = (bc * X
+                 + (a - bc) * _einsum("ik,kj->ij", XL, Li,
+                                      precision=prec)).astype(dt)
+    return X
+
+
+@partial(jax.jit, static_argnames=("schedule", "config"))
+def _qdwh_jit(X, schedule, config: QRConfig):
+    prec = config.precision
+    U = _qdwh_core(X, schedule, config, prec)
+    return U
+
+
+def polar(A, side: str = "right", l0: float | None = None,
+          config: QRConfig = DEFAULT_CONFIG, max_iter: int = 24):
+    """Polar decomposition (scipy.linalg.polar analog, QDWH, SVD-free).
+
+    side='right': A = U H with U (m x n) having orthonormal columns
+    (m >= n) or orthonormal rows (m < n) and H (n x n) Hermitian PSD.
+    side='left':  A = H U with H (m x m) Hermitian PSD.
+
+    l0: optional lower bound for sigma_min(A)/||A||_2 in (0, 1].  Tighter
+    values shorten the static schedule; the default (just below machine eps
+    of the working dtype) is valid for any numerically nonsingular A.
+    For singular A the iteration still returns an orthogonal U (the polar
+    factor of a nearby full-rank matrix; the polar factor itself is
+    non-unique there).
+    """
+    A = to_device(A)
+    if A.ndim != 2:
+        raise QRShapeError(f"polar needs a 2-D matrix, got shape {A.shape}")
+    if side not in ("right", "left"):
+        raise ValueError(f"side must be 'right' or 'left', got {side!r}")
+    m, n = A.shape
+    if m < n:
+        # A = U H  <=>  A^H = (U^H)(H')   with H' from the transposed problem
+        if side == "right":
+            Ut, Hh = polar(_h(A).T, side="left", l0=l0, config=config,
+                           max_iter=max_iter)
+        else:
+            Ut, Hh = polar(_h(A).T, side="right", l0=l0, config=config,
+                           max_iter=max_iter)
+        return _h(Ut).T, _h(Hh).T
+
+    dt = A.dtype
+    if not jnp.iscomplexobj(A) and config.dtype != dt:
+        # fp64 / bf16 input: run the QR core in the input dtype (complex is
+        # routed inside qr_blocked itself)
+        config = config.replace(dtype=dt)
+    eps = float(jnp.finfo(jnp.float64 if dt == jnp.float64 else
+                          jnp.float32).eps)
+    if l0 is None:
+        l0 = eps / 10.0
+    # X0 = A/alpha with alpha = sqrt(||A||_1 ||A||_inf), which overestimates
+    # ||A||_2 by at most (mn)^(1/4); l0 bounds sigma_min(A)/||A||_2, so the
+    # schedule must start from the deflated sigma_min(X0) bound.
+    schedule = tuple(_qdwh_schedule(l0 / (m * n) ** 0.25, eps, max_iter))
+
+    U = _qdwh_jit(_prep(A), schedule, config)
+    return U, _form_h(U, A, side, config)
+
+
+def svd(A, full_matrices: bool = False, l0: float | None = None,
+        config: QRConfig = DEFAULT_CONFIG):
+    """Singular value decomposition via QDWH-SVD (Nakatsukasa-Higham 2013).
+
+    A = U diag(s) V^H with s descending.  Structure: the polar factor comes
+    from the QR-based QDWH iteration above (all GEMM/QR work), then one
+    Hermitian eigendecomposition of the small(er) n x n factor H = V S V^H
+    gives the right singular vectors, and U = U_polar V is one GEMM.  No
+    bidiagonalization -- the O(mn^2) work is entirely MXU-shaped, which is
+    the reason QDWH-SVD is the standard dense-SVD construction on matrix
+    units.  full_matrices=False only (thin); use mode analogs of qr for
+    bases of the complements.
+    """
+    if full_matrices:
+        raise NotImplementedError(
+            "svd: thin SVD only (full_matrices=False); orthonormal "
+            "complements are available via qr(mode='complete')")
+    A = to_device(A)
+    if A.ndim != 2:
+        raise QRShapeError(f"svd needs a 2-D matrix, got shape {A.shape}")
+    m, n = A.shape
+    if m < n:
+        U, s, Vh = svd(_h(A).T, l0=l0, config=config)
+        return _h(Vh).T, s, _h(U).T
+    Up, H = polar(A, side="right", l0=l0, config=config)
+    return _svd_finish(Up, H, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _svd_finish(Up, H, config: QRConfig):
+    w, V = jnp.linalg.eigh(H)          # ascending
+    w = jnp.maximum(w[::-1], 0.0)      # descending, clipped PSD
+    V = V[:, ::-1]
+    U = _einsum("ik,kj->ij", Up, V, precision=config.precision)
+    return (U.astype(Up.dtype), w.real.astype(jnp.abs(H).dtype),
+            _h(V).T.astype(Up.dtype))
+
+
+@jax.jit
+def _prep(A):
+    """Scale A so its spectrum lies in (0, 1]:
+    alpha = sqrt(||A||_1 ||A||_inf) >= sigma_max(A) -- cheap, exact bound."""
+    absA = jnp.abs(A)
+    alpha = jnp.sqrt(jnp.max(jnp.sum(absA, axis=0))
+                     * jnp.max(jnp.sum(absA, axis=1)))
+    rdt = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    alpha = jnp.where(alpha > 0, alpha, 1.0).astype(rdt)
+    return (A / alpha).astype(A.dtype)
+
+
+@partial(jax.jit, static_argnames=("side", "config"))
+def _form_h(U, A, side: str, config: QRConfig):
+    prec = config.precision
+    if side == "right":
+        Hm = _einsum("ki,kj->ij", _h(U), A, precision=prec)  # U^H A
+    else:
+        Hm = _einsum("ik,jk->ij", A, _h(U), precision=prec)  # A U^H
+    return ((Hm + _h(Hm).T) * 0.5).astype(A.dtype)
