@@ -235,6 +235,38 @@ def extras_rsvd(quick: bool):
             "backend": jax.default_backend()}
 
 
+def extras_polar(quick: bool):
+    """Beyond-parity: QDWH polar decomposition (SVD-free, all MXU work)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from cuda_qr_tpu.models.polar import polar
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    m, n = (512, 256) if quick else (4096, 2048)
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=4)
+    rng = np.random.default_rng(12)
+    # cond ~1e4 so the full QDWH schedule (QR + Cholesky steps) is exercised
+    k = n
+    U = np.linalg.qr(rng.standard_normal((m, k)))[0]
+    V = np.linalg.qr(rng.standard_normal((k, k)))[0]
+    sv = np.geomspace(1.0, 1e-4, k)
+    A = jnp.asarray(((U * sv) @ V).astype(np.float32))
+    r = bench(lambda a: polar(a, config=cfg), A, reps=3)
+    Up, Hp = polar(A, config=cfg)
+    Up64 = np.asarray(Up, np.float64)
+    Hp64 = np.asarray(Hp, np.float64)
+    A64 = np.asarray(A, np.float64)
+    orth = float(np.linalg.norm(Up64.T @ Up64 - np.eye(k)))
+    resid = float(np.linalg.norm(Up64 @ Hp64 - A64) / np.linalg.norm(A64))
+    return {"config": f"x4: polar (QDWH) {m}x{n} fp32 cond 1e4",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "residual": float(f"{resid:.3e}"),
+            "orthogonality": float(f"{orth:.3e}"),
+            "backend": jax.default_backend()}
+
+
 def extras_lstsq_dist():
     """Beyond-parity: distributed lstsq on the virtual 8-device mesh
     (augmented-matrix CAQR; correctness, not wall-clock)."""
@@ -281,6 +313,7 @@ def main():
                config5_caqr,
                lambda: extras_decomp(args.quick),
                lambda: extras_rsvd(args.quick),
+               lambda: extras_polar(args.quick),
                extras_lstsq_dist):
         t0 = time.time()
         rec = fn() if not isinstance(fn, str) else None

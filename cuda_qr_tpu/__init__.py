@@ -11,7 +11,7 @@ from .models.batched import qr_batched
 from .models.caqr import caqr, caqr_r
 from .models.decomp import lq, ql, qr_multiply, rq
 from .models.lstsq import LstsqResult, lstsq, lstsq_dist, solve
-from .models.polar import polar, svd
+from .models.polar import polar, polar_dist, svd
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
 from .models.rank import lstsq_rr, matrix_rank, null_space, pinv, slogdet
 from .models.rsvd import cond_est, norm2_est, orth, rsvd, rsvd_dist
@@ -40,7 +40,7 @@ __all__ = [
     "lstsq", "lstsq_dist", "solve", "LstsqResult",
     "matrix_rank", "pinv", "null_space", "lstsq_rr", "slogdet",
     "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist", "norm2_est", "cond_est",
-    "polar", "svd",
+    "polar", "polar_dist", "svd",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
     "to_device", "to_host",
 ]

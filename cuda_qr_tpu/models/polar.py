@@ -167,6 +167,103 @@ def polar(A, side: str = "right", l0: float | None = None,
     return U, _form_h(U, A, side, config)
 
 
+def polar_dist(A, mesh, l0: float | None = None,
+               config: QRConfig = DEFAULT_CONFIG, strategy: str | None = None,
+               max_iter: int = 24):
+    """Distributed QDWH polar decomposition of a row-sharded tall matrix.
+
+    A = U H with U (m x n, orthonormal columns) row-sharded over the mesh
+    and H (n x n Hermitian PSD) replicated.  Completes the distributed
+    solver layer (lstsq_dist, rsvd_dist, caqr_ormqr) with the polar/
+    spectral member; the reference has no distributed code at all
+    (SURVEY.md S2, jobfile:4-6).
+
+    Mapping of the QDWH stages onto the mesh:
+      * QR step: instead of factoring the stacked ((m+n) x n) matrix
+        across shards, factor X = Q_d R_d by tsqr_dist (R_d replicated),
+        then QR the small replicated stack [sqrt(c) R_d; I] = [Q1; Q2] R2.
+        The thin Q of [sqrt(c) X; I] is ([Q_d Q1; Q2]), so the Halley
+        update needs only K = Q1 Q2^H (replicated n x n) and one
+        shard-local GEMM Q_d K -- no extra collectives beyond the TSQR.
+      * Cholesky step: G = X^H X is one psum (inserted by the SPMD
+        partitioner); the two triangular GEMMs are shard-local against the
+        replicated n x n inverse Cholesky factor.
+      * H = U^H A: one psum'd GEMM + symmetrization.
+
+    strategy: tsqr_dist combine ("allgather" default -- the unconditionally
+    stable Householder combine; early QDWH iterates have cond up to 1/l0,
+    which is exactly the regime CholeskyQR-style combines must guard
+    against).  "cholesky"/"butterfly" as in tsqr_dist.
+    """
+    from ..parallel.mesh import ROW_AXIS, row_sharding
+    from ..parallel.tsqr_dist import tsqr_dist
+
+    if A.ndim != 2:
+        raise QRShapeError(f"polar_dist needs a 2-D matrix, got {A.shape}")
+    m, n = A.shape
+    nper = mesh.shape[ROW_AXIS]
+    if m < n:
+        raise QRShapeError(
+            f"polar_dist needs a tall matrix (m >= n), got {m}x{n}; "
+            "transpose on the host for the wide case")
+    if m % nper:
+        raise QRShapeError(f"polar_dist needs m % P == 0, got m={m} P={nper}")
+    cplx = jnp.iscomplexobj(A)
+    if strategy is None:
+        strategy = "allgather"
+    dt = A.dtype
+    if not cplx and config.dtype != dt:
+        config = config.replace(dtype=dt)
+    eps = float(jnp.finfo(jnp.float64 if dt in (jnp.float64, jnp.complex128)
+                          else jnp.float32).eps)
+    if l0 is None:
+        l0 = eps / 10.0
+    schedule = tuple(_qdwh_schedule(l0 / (m * n) ** 0.25, eps, max_iter))
+
+    Ad = jax.device_put(to_device(A), row_sharding(mesh))
+    U = _qdwh_dist_jit(Ad, mesh, schedule, config, strategy)
+    H = _form_h_dist(U, Ad, config)
+    return U, H
+
+
+@partial(jax.jit, static_argnames=("mesh", "schedule", "config", "strategy"))
+def _qdwh_dist_jit(A, mesh, schedule, config: QRConfig, strategy: str):
+    from ..ops.smalllinalg import cholesky_with_inv
+    from ..parallel.tsqr_dist import _small_qr_q, tsqr_dist
+
+    prec = config.precision
+    m, n = A.shape
+    dt = A.dtype
+    cplx = jnp.iscomplexobj(A)
+    eye = jnp.eye(n, dtype=dt)
+    X = _prep(A)
+    for a, b, c, use_qr in schedule:
+        bc = b / c
+        if use_qr or cplx:
+            sc = math.sqrt(c)
+            Qd, Rd = tsqr_dist(X, mesh, config, strategy=strategy)
+            stacked = jnp.concatenate([(sc * Rd).astype(dt), eye], axis=0)
+            Qs, _ = _small_qr_q(stacked, prec)
+            K = _einsum("ik,jk->ij", Qs[:n], _h(Qs[n:]), precision=prec)
+            X = (bc * X + ((a - bc) / sc)
+                 * _einsum("ik,kj->ij", Qd, K, precision=prec)).astype(dt)
+        else:
+            G = _einsum("ki,kj->ij", _h(X), X, precision=prec)
+            Z = eye + jnp.asarray(c, dt) * G
+            _, Li = cholesky_with_inv(Z, precision=prec)
+            XL = _einsum("ik,jk->ij", X, _h(Li), precision=prec)
+            X = (bc * X
+                 + (a - bc) * _einsum("ik,kj->ij", XL, Li,
+                                      precision=prec)).astype(dt)
+    return X
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _form_h_dist(U, A, config: QRConfig):
+    Hm = _einsum("ki,kj->ij", _h(U), A, precision=config.precision)
+    return ((Hm + _h(Hm).T) * 0.5).astype(A.dtype)
+
+
 def svd(A, full_matrices: bool = False, l0: float | None = None,
         config: QRConfig = DEFAULT_CONFIG):
     """Singular value decomposition via QDWH-SVD (Nakatsukasa-Higham 2013).

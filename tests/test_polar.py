@@ -133,6 +133,48 @@ def test_svd_full_matrices_unsupported(rng):
         ctq.svd(np.eye(4, dtype=np.float32), full_matrices=True)
 
 
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+    from cuda_qr_tpu.parallel.mesh import row_mesh
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return row_mesh(8)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "cholesky"])
+def test_polar_dist_matches_local(rng, mesh, strategy):
+    A = rng.standard_normal((256, 32)).astype(np.float32)
+    U, H = ctq.polar_dist(A, mesh, config=CFG, strategy=strategy)
+    _checks(A, np.asarray(U), np.asarray(H))
+    Ul, _ = ctq.polar(A, config=CFG)
+    assert np.abs(np.asarray(U) - np.asarray(Ul)).max() < 1e-5
+
+
+def test_polar_dist_ill_conditioned_f64(rng, mesh):
+    Qa = np.linalg.qr(rng.standard_normal((512, 48)))[0]
+    Qb = np.linalg.qr(rng.standard_normal((48, 48)))[0]
+    s = np.geomspace(1.0, 1e-9, 48)
+    A = (Qa * s) @ Qb
+    U, H = ctq.polar_dist(A, mesh, config=CFG)
+    U64 = np.asarray(U)
+    assert np.linalg.norm(U64.T @ U64 - np.eye(48)) < 1e-12 * 48
+    _checks(A, U64, np.asarray(H), tol=1e-11)
+
+
+def test_polar_dist_complex(rng, mesh):
+    A = (rng.standard_normal((128, 16))
+         + 1j * rng.standard_normal((128, 16))).astype(np.complex64)
+    U, H = ctq.polar_dist(A, mesh, config=CFG)
+    _checks(A, np.asarray(U), np.asarray(H))
+
+
+def test_polar_dist_errors(rng, mesh):
+    with pytest.raises(ctq.QRShapeError):
+        ctq.polar_dist(np.zeros((16, 32), np.float32), mesh)  # wide
+    with pytest.raises(ctq.QRShapeError):
+        ctq.polar_dist(np.zeros((129, 8), np.float32), mesh)  # m % P != 0
+
+
 def test_schedule_static_convergence():
     # The static scalar recurrence reaches 1 within a few steps for both
     # dtype floors, and every step is finite.
