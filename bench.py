@@ -56,12 +56,14 @@ def main():
     # Always-on verification (the reference shipped its check commented out,
     # qr.cu:822-850).  Norms are computed on-device at HIGHEST matmul
     # precision and fetched as scalars: pulling full matrices through the
-    # host link would dominate the bench wall-clock.
+    # host link would dominate the bench wall-clock.  Q/R enter as ARGUMENTS
+    # rather than by calling qr_full inside the jit: inlining would compile
+    # the whole factor+orgqr pipeline a third time (~minutes each through
+    # the remote-compile tunnel, measured), for zero benefit.
     H = jax.lax.Precision.HIGHEST
 
     @jax.jit
-    def residuals(A):
-        Q, R = qr_full(A)
+    def residuals(A, Q, R):
         resid = jnp.linalg.norm(
             jnp.einsum("ij,jk->ik", Q, R, precision=H) - A) / jnp.linalg.norm(A)
         orth = jnp.linalg.norm(
@@ -69,7 +71,9 @@ def main():
             jnp.eye(n, dtype=A.dtype))
         return resid, orth
 
-    resid, orth = (float(x) for x in residuals(A))
+    Qh, Rh = qr_full(A)
+    resid, orth = (float(x) for x in residuals(A, Qh, Rh))
+    del Qh, Rh
     eps = float(jnp.finfo(jnp.float32).eps)
 
     # Mosaic-compile smoke for the Pallas geqrt kernel: CI runs it only in
@@ -124,13 +128,14 @@ if __name__ == "__main__":
     #
     # Watchdog: when the tunnel is fully down, backend init inside main()
     # BLOCKS forever (jax.devices() nanosleep-retries; no exception ever
-    # fires), which would hang the harness.  A hard exit after 45 min
+    # fires), which would hang the harness.  A hard exit after 90 min
     # turns that into a recordable failure.  Generous bound: a cold 8192^2
-    # compile through the tunnel measured ~245 s, plus 3 reps.
+    # compile through a degraded tunnel measured ~3600 s once; normally the
+    # persistent cache makes this seconds.
     import os
     import threading
     import time
-    watchdog = threading.Timer(2700, lambda: os._exit(3))
+    watchdog = threading.Timer(5400, lambda: os._exit(3))
     watchdog.daemon = True
     watchdog.start()
     for attempt in range(5):
