@@ -14,7 +14,8 @@ from .models.lstsq import LstsqResult, lstsq, lstsq_dist, solve
 from .models.polar import polar, polar_dist, svd
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
 from .models.rank import lstsq_rr, matrix_rank, null_space, pinv, slogdet
-from .models.rsvd import cond_est, norm2_est, orth, rsvd, rsvd_dist
+from .models.rsvd import (cond_est, eigh_rand, eigh_rand_dist, norm2_est,
+                          orth, rsvd, rsvd_dist)
 from .models.tsqr import tsqr, tsqr_r
 from .models.update import (qr_col_delete, qr_col_insert, qr_rank1_update,
                             qr_row_delete, qr_row_insert, qr_update)
@@ -39,7 +40,8 @@ __all__ = [
     "tsqr", "tsqr_r", "tsqr_dist", "caqr", "caqr_r", "caqr_ormqr",
     "lstsq", "lstsq_dist", "solve", "LstsqResult",
     "matrix_rank", "pinv", "null_space", "lstsq_rr", "slogdet",
-    "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist", "norm2_est", "cond_est",
+    "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist",
+    "eigh_rand", "eigh_rand_dist", "norm2_est", "cond_est",
     "polar", "polar_dist", "svd",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
     "to_device", "to_host",

@@ -25,6 +25,7 @@ Commands:
   update m n   -- rank-1 qr_update benchmark vs a full refactor
   decomp k m n -- LQ/RQ/QL benchmark + verification (k in {lq, rq, ql})
   rsvd m n     -- randomized rank-k SVD benchmark on a decaying spectrum
+                  (--sym: symmetric eigh_rand benchmark instead)
   polar m n    -- QDWH polar decomposition benchmark + verification
 """
 
@@ -375,6 +376,8 @@ def cmd_rsvd(args):
 
     cfg = _config(args)
     rng = np.random.default_rng(args.seed)
+    if getattr(args, "sym", False):
+        return _cmd_eigh_rand(args, cfg, rng)
     # spectrum with controllable decay so the truncation error is meaningful
     r_full = min(args.m, args.n)
     U = np.linalg.qr(rng.standard_normal((args.m, r_full)))[0]
@@ -394,6 +397,35 @@ def cmd_rsvd(args):
         tail = s[args.rank] if args.rank < r_full else 0.0
         rec |= {"err2": float(rec_err), "s_next": float(tail),
                 "ok": bool(rec_err < 3 * tail + max(args.m, args.n) * 1e-6)}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
+def _cmd_eigh_rand(args, cfg, rng):
+    """rsvd --sym: randomized Hermitian eigendecomposition benchmark on a
+    symmetric matrix with an alternating-sign decaying spectrum."""
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.rsvd import eigh_rand
+    from .utils.timing import bench
+
+    m = args.m
+    V = np.linalg.qr(rng.standard_normal((m, m)))[0]
+    w = args.decay ** np.arange(m) * np.where(np.arange(m) % 2, -1.0, 1.0)
+    A = jnp.asarray((V * w) @ V.T, dtype=cfg.dtype)
+    r = bench(lambda a: eigh_rand(a, args.rank, n_iter=args.iters,
+                                  config=cfg), A, reps=args.trials)
+    rec = {"cmd": "eigh_rand", "m": m, "rank": args.rank,
+           "dtype": args.dtype, "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        wk, Vk = eigh_rand(A, args.rank, n_iter=args.iters, config=cfg)
+        wk = np.asarray(wk, np.float64)
+        Vk = np.asarray(Vk, np.float64)
+        err = np.linalg.norm((Vk * wk) @ Vk.T - np.asarray(A, np.float64), 2)
+        tail = abs(w[args.rank]) if args.rank < m else 0.0
+        rec |= {"err2": float(err), "w_next": float(tail),
+                "ok": bool(err < 3 * tail + m * 1e-6)}
     _emit(rec)
     return 0 if rec.get("ok", True) else 2
 
@@ -459,6 +491,9 @@ def main(argv=None):
     sp.add_argument("--rank", type=int, default=16)
     sp.add_argument("--iters", type=int, default=2)
     sp.add_argument("--decay", type=float, default=0.8)
+    sp.add_argument("--sym", action="store_true",
+                    help="square symmetric input: benchmark eigh_rand "
+                         "instead of rsvd (n is ignored)")
     sp = sub.add_parser("polar")
     sp.add_argument("m", type=int)
     sp.add_argument("n", type=int)

@@ -96,6 +96,52 @@ def rsvd(A, k: int, p: int = 8, n_iter: int = 2, key=None,
     return U[:, :k], s[:k], Vt[:k]
 
 
+def eigh_rand(A, k: int, p: int = 8, n_iter: int = 2, key=None,
+              config: QRConfig = DEFAULT_CONFIG):
+    """Randomized rank-k eigendecomposition of a symmetric/Hermitian A.
+
+    Returns (w (k,), V (m x k)) with A ~= V @ diag(w) @ V^H, eigenpairs
+    ordered by descending |w| (the dominant pairs the sketch captures --
+    works for indefinite A, unlike a Nystrom approximation).
+
+    Range finder as in rsvd() -- for symmetric A each power step is one
+    GEMM + thin QR, not two -- followed by Rayleigh-Ritz on the (ell x ell)
+    compression T = Q^H A Q: the only dense eigensolve is of the small
+    core.  All large ops are (m x m)(m x ell) GEMMs and thin QRs on the
+    TSQR/CholeskyQR2 path.
+    """
+    A = to_device(A)
+    m, n = A.shape
+    if m != n:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"eigh_rand needs a square matrix, got {A.shape}")
+    ell = min(k + p, m)
+    if not 1 <= k <= m:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"rank k must be in [1, {m}], got {k}")
+    if key is None:
+        key = jax.random.PRNGKey(12)  # the reference's srand(12), qr.cu:765
+    prec = config.precision
+    real_dtype = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+
+    def mm(X, Y):
+        return jnp.einsum("ij,jk->ik", X, Y, precision=prec)
+
+    ct = (lambda X: X.conj().T) if jnp.iscomplexobj(A) else (lambda X: X.T)
+
+    Om = jax.random.normal(key, (m, ell), dtype=real_dtype).astype(A.dtype)
+    Q = _thin_qr(mm(A, Om), config)
+    for _ in range(n_iter):                 # A = A^H: one GEMM per step
+        Q = _thin_qr(mm(A, Q), config)
+    AQ = mm(A, Q)
+    T = mm(ct(Q), AQ)                       # (ell x ell) Rayleigh quotient
+    T = 0.5 * (T + ct(T))                   # re-symmetrize roundoff
+    w, S = jnp.linalg.eigh(T)               # ascending, real w
+    order = jnp.argsort(-jnp.abs(w))[:k]
+    return w[order], mm(Q, S[:, order])
+
+
 def norm2_est(A, n_iter: int = 8, key=None,
               config: QRConfig = DEFAULT_CONFIG):
     """Randomized spectral-norm estimate via block power iteration (block
@@ -195,6 +241,88 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
     Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
     U = shard_mm(Q, Ub)
     return U[:, :k], s[:k], Vt[:k]
+
+
+def eigh_rand_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
+                   config: QRConfig = DEFAULT_CONFIG):
+    """Distributed randomized rank-k eigendecomposition of a row-sharded
+    symmetric/Hermitian A (m x m, m % P == 0).
+
+    Same communication shape as rsvd_dist: sketch GEMMs are shard-local,
+    thin QRs of tall iterates go through tsqr_dist, and the only replicated
+    intermediates are (m x ell) psum results and the (ell x ell) Rayleigh
+    quotient -- no row of A ever crosses the wire.  Symmetry halves the
+    power-iteration GEMMs: A^H Q (one psum) IS the next A-application.
+    Returns (w (k,), V (m x k) row-sharded), ordered by descending |w|.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as SpecP
+    from ..parallel.mesh import ROW_AXIS, row_sharding
+    from ..parallel.tsqr_dist import tsqr_dist
+
+    A = jnp.asarray(A)
+    m, n = A.shape
+    P_ = mesh.shape[ROW_AXIS]
+    if m != n:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"eigh_rand_dist needs a square matrix, "
+                           f"got {A.shape}")
+    ell = min(k + p, m)
+    if not 1 <= k <= m:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"rank k must be in [1, {m}], got {k}")
+    if m % P_:
+        from ..utils.errors import QRShapeError
+        raise QRShapeError(f"eigh_rand_dist needs m % P == 0; "
+                           f"got {m} rows on {P_} shards")
+    cplx = jnp.iscomplexobj(A)
+    if cplx:
+        config = config.replace(dtype=A.dtype, use_pallas=False,
+                                use_chol_kernel=False,
+                                tsqr_leaf="householder")
+    if key is None:
+        key = jax.random.PRNGKey(12)
+    prec = config.precision
+    shard = row_sharding(mesh)
+    A = jax.device_put(A.astype(config.dtype), shard)
+
+    def local_mm(a, x):            # (mloc, m) @ (m, ell), row-sharded out
+        return jnp.einsum("ij,jk->ik", a, x, precision=prec)
+
+    def reduced_tmm(a, q):         # psum of A_i^H Q_i: (m, ell) replicated
+        return jax.lax.psum(
+            jnp.einsum("ji,jk->ik", a.conj(), q, precision=prec), ROW_AXIS)
+
+    def reduced_gram(q, w):        # psum of Q_i^H W_i: (ell, ell)
+        return jax.lax.psum(
+            jnp.einsum("ji,jk->ik", q.conj(), w, precision=prec), ROW_AXIS)
+
+    shard_mm = shard_map(local_mm, mesh=mesh,
+                         in_specs=(SpecP(ROW_AXIS, None), SpecP()),
+                         out_specs=SpecP(ROW_AXIS, None), check_vma=False)
+    shard_tmm = shard_map(reduced_tmm, mesh=mesh,
+                          in_specs=(SpecP(ROW_AXIS, None),
+                                    SpecP(ROW_AXIS, None)),
+                          out_specs=SpecP(), check_vma=False)
+    shard_gram = shard_map(reduced_gram, mesh=mesh,
+                           in_specs=(SpecP(ROW_AXIS, None),
+                                     SpecP(ROW_AXIS, None)),
+                           out_specs=SpecP(), check_vma=False)
+
+    strategy = "allgather" if cplx else "cholesky"
+    Om = jax.random.normal(key, (m, ell), dtype=jnp.float32).astype(A.dtype)
+    Q = tsqr_dist(shard_mm(A, Om), mesh, config, strategy=strategy)[0]
+    for _ in range(n_iter):
+        W = shard_tmm(A, Q)                      # = A Q (A Hermitian)
+        Q = tsqr_dist(jax.device_put(W, shard), mesh, config,
+                      strategy=strategy)[0]
+    AQ = jax.device_put(shard_tmm(A, Q), shard)  # (m, ell) row-sharded
+    T = shard_gram(Q, AQ)                        # (ell, ell) Rayleigh
+    ct = (lambda X: X.conj().T) if cplx else (lambda X: X.T)
+    T = 0.5 * (T + ct(T))
+    w, S = jnp.linalg.eigh(T)
+    order = jnp.argsort(-jnp.abs(w))[:k]
+    return w[order], jnp.einsum("ij,jk->ik", Q, S[:, order], precision=prec)
 
 
 def cond_est(A, n_iter: int = 12, key=None,

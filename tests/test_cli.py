@@ -73,3 +73,11 @@ def test_cli_rsvd():
                   "--rank", "8", "--decay", "0.7")
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["ok"] and rec["err2"] < 3 * rec["s_next"] + 1e-4
+
+
+def test_cli_rsvd_sym():
+    out = run_cli("--no-pallas", "--trials", "1", "rsvd", "96", "96",
+                  "--rank", "8", "--decay", "0.7", "--sym")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["cmd"] == "eigh_rand"
+    assert rec["ok"] and rec["err2"] < 3 * rec["w_next"] + 1e-4

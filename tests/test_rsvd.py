@@ -107,6 +107,61 @@ def test_rsvd_dist_matches_single(rng):
     assert np.linalg.norm(U.T @ U - np.eye(k)) < 1e-4
 
 
+def test_eigh_rand_indefinite(rng):
+    # symmetric with mixed-sign dominant eigenvalues: Rayleigh-Ritz must
+    # recover both signs (a Nystrom-style approximation could not)
+    m, r = 140, 10
+    V = np.linalg.qr(rng.standard_normal((m, r)))[0]
+    w = np.array([9.0, -7.5, 6.0, -4.8, 3.5, -2.6, 1.9, -1.3, 0.9, -0.6])
+    A = ((V * w) @ V.T).astype(np.float32)
+    w_est, V_est = ctq.eigh_rand(A, k=r, p=6, n_iter=2, config=CFG)
+    w_est = np.asarray(w_est, np.float64)
+    V_est = np.asarray(V_est, np.float64)
+    assert w_est.shape == (r,) and V_est.shape == (m, r)
+    assert np.allclose(w_est, w, rtol=1e-4, atol=1e-4)   # |w|-descending
+    rec = (V_est * w_est) @ V_est.T
+    assert np.linalg.norm(rec - A) / np.linalg.norm(A) < 1e-4
+    assert np.linalg.norm(V_est.T @ V_est - np.eye(r)) < 1e-4
+
+
+def test_eigh_rand_truncation_and_hermitian(rng):
+    # complex Hermitian, full-rank decaying spectrum: rank-k error ~ |w_{k+1}|
+    m, k = 96, 6
+    X = (rng.standard_normal((m, m))
+         + 1j * rng.standard_normal((m, m))) / np.sqrt(2 * m)
+    Vf = np.linalg.qr(X)[0]
+    w_full = 0.65 ** np.arange(m) * np.where(np.arange(m) % 2, -1.0, 1.0)
+    A = ((Vf * w_full) @ Vf.conj().T).astype(np.complex64)
+    w_est, V_est = ctq.eigh_rand(A, k=k, p=8, n_iter=3, config=CFG)
+    w_est, V_est = np.asarray(w_est), np.asarray(V_est)
+    assert np.allclose(w_est, w_full[:k], rtol=1e-3, atol=1e-4)
+    err = np.linalg.norm((V_est * w_est) @ V_est.conj().T - A, 2)
+    assert err < 3 * abs(w_full[k])
+    with pytest.raises(ctq.QRShapeError):
+        ctq.eigh_rand(rng.standard_normal((8, 6)).astype(np.float32), k=2,
+                      config=CFG)
+
+
+def test_eigh_rand_dist_matches_single(rng):
+    from cuda_qr_tpu.parallel.mesh import row_mesh
+    mesh = row_mesh(8)
+    m, r, k = 8 * 20, 10, 6
+    V = np.linalg.qr(rng.standard_normal((m, r)))[0]
+    w = np.array([8.0, -6.5, 5.0, -3.8, 2.5, -1.6, 0.9, -0.5, 0.3, -0.2])
+    A = ((V * w) @ V.T).astype(np.float32)
+    w_est, V_est = ctq.eigh_rand_dist(A, k, mesh, p=6, n_iter=2, config=CFG)
+    w_est = np.asarray(w_est, np.float64)
+    V_est = np.asarray(V_est, np.float64)
+    assert w_est.shape == (k,) and V_est.shape == (m, k)
+    assert np.allclose(w_est, w[:k], rtol=1e-3, atol=1e-4)
+    assert np.linalg.norm(V_est.T @ V_est - np.eye(k)) < 1e-4
+    # the k-truncation reproduces A up to the dropped tail |w_{k+1}|
+    err = np.linalg.norm((V_est * w_est) @ V_est.T - A, 2)
+    assert err < 3 * abs(w[k])
+    with pytest.raises(ctq.QRShapeError):
+        ctq.eigh_rand_dist(A[: 8 * 20 - 4, : 8 * 20 - 4], k, mesh, config=CFG)
+
+
 @pytest.mark.parametrize("target_cond", [10.0, 1e4])
 def test_cond_est(rng, target_cond):
     m, n = 120, 40
