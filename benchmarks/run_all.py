@@ -235,6 +235,36 @@ def extras_rsvd(quick: bool):
             "backend": jax.default_backend()}
 
 
+def extras_eigh_rand(quick: bool):
+    """Beyond-parity: randomized Hermitian eigendecomposition (indefinite
+    alternating-sign spectrum -- the case a Nystrom approximation cannot
+    handle)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.models.rsvd import eigh_rand
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    m, k = (1024, 16) if quick else (8192, 64)
+    cfg = QRConfig(dtype=jnp.float32)
+    rng = np.random.default_rng(12)
+    r_full = min(m, 4 * k)
+    V = np.linalg.qr(rng.standard_normal((m, r_full)))[0]
+    w = 0.9 ** np.arange(r_full) * np.where(np.arange(r_full) % 2, -1., 1.)
+    A = jnp.asarray(((V * w) @ V.T).astype(np.float32))
+    r = bench(lambda a: eigh_rand(a, k, n_iter=2, config=cfg), A, reps=3)
+    wk, Vk = eigh_rand(A, k, n_iter=2, config=cfg)
+    wk, Vk = np.asarray(wk, np.float64), np.asarray(Vk, np.float64)
+    err = float(np.linalg.norm(
+        (Vk * wk) @ Vk.T - np.asarray(A, np.float64), 2))
+    return {"config": f"x5: eigh_rand {m}^2 rank {k} (q=2, indefinite)",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "err2": float(f"{err:.3e}"),
+            "w_next": float(f"{0.9 ** k:.3e}"),
+            "backend": jax.default_backend()}
+
+
 def extras_polar(quick: bool):
     """Beyond-parity: QDWH polar decomposition (SVD-free, all MXU work)."""
     import jax
@@ -313,6 +343,7 @@ def main():
                config5_caqr,
                lambda: extras_decomp(args.quick),
                lambda: extras_rsvd(args.quick),
+               lambda: extras_eigh_rand(args.quick),
                lambda: extras_polar(args.quick),
                extras_lstsq_dist):
         t0 = time.time()
