@@ -410,8 +410,13 @@ def _cmd_eigh_rand(args, cfg, rng):
     from .utils.timing import bench
 
     m = args.m
-    V = np.linalg.qr(rng.standard_normal((m, m)))[0]
-    w = args.decay ** np.arange(m) * np.where(np.arange(m) % 2, -1.0, 1.0)
+    # Rank-limited Haar basis (like benchmarks/run_all.py): a full m x m
+    # host-side QR is O(m^3) and would dominate wall time at large m; the
+    # tail |w[rank]| acceptance check only needs r_full > rank eigenpairs.
+    r_full = min(m, 4 * args.rank)
+    V = np.linalg.qr(rng.standard_normal((m, r_full)))[0]
+    w = (args.decay ** np.arange(r_full)
+         * np.where(np.arange(r_full) % 2, -1.0, 1.0))
     A = jnp.asarray((V * w) @ V.T, dtype=cfg.dtype)
     r = bench(lambda a: eigh_rand(a, args.rank, n_iter=args.iters,
                                   config=cfg), A, reps=args.trials)

@@ -109,6 +109,13 @@ def eigh_rand(A, k: int, p: int = 8, n_iter: int = 2, key=None,
     compression T = Q^H A Q: the only dense eigensolve is of the small
     core.  All large ops are (m x m)(m x ell) GEMMs and thin QRs on the
     TSQR/CholeskyQR2 path.
+
+    NOTE on n_iter semantics: here n_iter counts SINGLE applications of A
+    (n_iter + 1 total, exploiting symmetry), whereas rsvd(n_iter=q) on the
+    same symmetric input applies A effectively 2q + 1 times.  For
+    comparable spectral sharpening on slowly decaying spectra, pass roughly
+    double the n_iter you would give rsvd -- each application still costs
+    half as much.
     """
     A = to_device(A)
     m, n = A.shape
@@ -210,6 +217,10 @@ def rsvd_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
         config = config.replace(dtype=A.dtype, use_pallas=False,
                                 use_chol_kernel=False,
                                 tsqr_leaf="householder")
+    elif A.dtype == jnp.float64:
+        # Match the single-device rsvd: float64 inputs keep their precision
+        # instead of being silently downcast to config.dtype.
+        config = config.replace(dtype=A.dtype)
     if key is None:
         key = jax.random.PRNGKey(12)
     prec = config.precision
@@ -280,6 +291,11 @@ def eigh_rand_dist(A, k: int, mesh, p: int = 8, n_iter: int = 2, key=None,
         config = config.replace(dtype=A.dtype, use_pallas=False,
                                 use_chol_kernel=False,
                                 tsqr_leaf="householder")
+    elif A.dtype == jnp.float64:
+        # Preserve float64 like the single-device eigh_rand does instead of
+        # silently downcasting to config.dtype (narrower inputs still widen
+        # to config.dtype, which loses nothing).
+        config = config.replace(dtype=A.dtype)
     if key is None:
         key = jax.random.PRNGKey(12)
     prec = config.precision

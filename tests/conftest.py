@@ -22,6 +22,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA:CPU compiles of the deep panel graphs
+# cost tens of seconds EACH (cholesky_with_inv(128) alone ~25 s), and the
+# segfault-dodging clear_caches() fixtures below force recompiles all suite
+# long -- measured 62 min for 369 tests.  With the disk cache, every
+# recompile after the first becomes a fast executable load (local CPU, no
+# tunnel), across fixtures, processes, AND suite runs.
+from cuda_qr_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
