@@ -88,28 +88,35 @@ def main():
     })
     emit()
 
-    # ---- Phase 2: factor + explicit Q in one jit -- the honest number
-    # directly comparable to XLA's jnp.linalg.qr (which returns Q and R). --
+    # ---- Phase 2: + explicit Q.  The Q+R number comparable to XLA's
+    # jnp.linalg.qr is reported as the SUM of the factor and orgqr programs
+    # (orgqr consumes the complete factorization, so a fused program cannot
+    # overlap them -- measured round 2: fused 88-91 ms vs 71-76 + ~16 ms
+    # parts).  Summing avoids compiling the factor pipeline a SECOND time
+    # inside a fused jit: each 8192^2 executable costs minutes through the
+    # remote-compile tunnel, and round 2's bench died exactly there. ----
     if time_left() < 60:
         RECORD["skipped_after"] = "factor"
         emit()
         return 0
 
+    fac = qr_blocked(A, cfg)
+
     @jax.jit
-    def qr_full(a):
-        fac = qr_blocked(a, cfg)
+    def q_and_r(fac):
         return orgqr(fac, m, n, cfg), extract_r(fac, n)
 
-    r_qr = bench(qr_full, A, reps=3)
-    RECORD["q_plus_r_ms"] = round(r_qr.steady_s * 1e3, 1)
-    RECORD["q_plus_r_compile_s"] = round(r_qr.compile_s, 1)
+    r_q = bench(q_and_r, fac, reps=3)
+    RECORD["q_plus_r_ms"] = round((r.steady_s + r_q.steady_s) * 1e3, 1)
+    RECORD["q_plus_r_form"] = "factor+orgqr program sum"
+    RECORD["q_plus_r_compile_s"] = round(r_q.compile_s, 1)
     emit()
 
     # ---- Phase 3: always-on verification (the reference shipped its check
     # commented out, qr.cu:822-850).  Norms are computed on-device at
     # HIGHEST matmul precision and fetched as scalars: pulling full matrices
     # through the host link would dominate the bench wall-clock.  Q/R enter
-    # as ARGUMENTS rather than by calling qr_full inside the jit: inlining
+    # as ARGUMENTS rather than by calling q_and_r inside the jit: inlining
     # would compile the whole factor+orgqr pipeline a third time. ----
     verified_ok = None
     if time_left() >= 60:
@@ -125,7 +132,7 @@ def main():
                 jnp.eye(n, dtype=A.dtype))
             return resid, orth
 
-        Qh, Rh = qr_full(A)
+        Qh, Rh = q_and_r(fac)
         resid, orth = (float(x) for x in residuals(A, Qh, Rh))
         del Qh, Rh
         verified_ok = resid < n * eps

@@ -54,21 +54,25 @@ def main():
     if len(sys.argv) > 1:
         configs = {k: v for k, v in configs.items() if k in sys.argv[1:]}
 
+    fused = "--fused" in sys.argv  # also time the single factor+Q program
     for name, cfg in configs.items():
         r = bench(lambda a, c=cfg: qr_blocked(a, c), A, reps=3,
                   flops=qr_flops(m, n))
 
+        # Q+R as the SUM of the factor and orgqr programs: the fused
+        # factor+orgqr jit is a second giant executable (~25 min through
+        # the degraded tunnel, and cache loads cost the same); the sum
+        # needs only the small orgqr program (~30 s compile, measured).
+        fac = qr_blocked(A, cfg)
+
         @jax.jit
-        def qr_full(a, c=cfg):
-            fac = qr_blocked(a, c)
+        def q_and_r(fac, c=cfg):
             return orgqr(fac, m, n, c), extract_r(fac, n)
 
-        rq = bench(qr_full, A, reps=3)
+        rq = bench(q_and_r, fac, reps=3)
 
-        # Residual norms in a SEPARATE small program over qr_full's outputs:
-        # inlining qr_full into a residuals jit would compile the whole
-        # factor+orgqr pipeline a third time per config (~minutes each
-        # through the remote tunnel, measured).
+        # Residual norms in a SEPARATE small program over the outputs:
+        # inlining would recompile the whole pipeline per config.
         @jax.jit
         def residuals(a, Q, R):
             resid = jnp.linalg.norm(
@@ -79,17 +83,30 @@ def main():
                 - jnp.eye(n, dtype=a.dtype))
             return resid, orth
 
-        Qf, Rf = qr_full(A)
+        Qf, Rf = q_and_r(fac)
         resid, orth = (float(x) for x in residuals(A, Qf, Rf))
         del Qf, Rf
-        print(json.dumps({
+        rec = {
             "config": name, "factor_ms": round(r.steady_s * 1e3, 1),
             "gflops": round(r.gflops, 0),
-            "q_plus_r_ms": round(rq.steady_s * 1e3, 1),
+            "q_plus_r_ms": round((r.steady_s + rq.steady_s) * 1e3, 1),
+            "q_plus_r_form": "sum",
+            "orgqr_ms": round(rq.steady_s * 1e3, 1),
             "residual": float(f"{resid:.3e}"),
             "orthogonality": float(f"{orth:.3e}"),
             "compile_s": round(r.compile_s + rq.compile_s, 1),
-        }), flush=True)
+        }
+        print(json.dumps(rec), flush=True)
+        if fused:
+            @jax.jit
+            def qr_full(a, c=cfg):
+                f = qr_blocked(a, c)
+                return orgqr(f, m, n, c), extract_r(f, n)
+
+            rf = bench(qr_full, A, reps=3)
+            rec["q_plus_r_fused_ms"] = round(rf.steady_s * 1e3, 1)
+            rec["fused_compile_s"] = round(rf.compile_s, 1)
+            print(json.dumps(rec), flush=True)
     return 0
 
 

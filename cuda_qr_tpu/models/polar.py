@@ -274,22 +274,30 @@ def svd(A, full_matrices: bool = False, l0: float | None = None,
     gives the right singular vectors, and U = U_polar V is one GEMM.  No
     bidiagonalization -- the O(mn^2) work is entirely MXU-shaped, which is
     the reason QDWH-SVD is the standard dense-SVD construction on matrix
-    units.  full_matrices=False only (thin); use mode analogs of qr for
-    bases of the complements.
+    units.
+
+    full_matrices=True extends the thin factor on the long side to a full
+    orthonormal basis: the complement columns come from qr(U, 'complete')
+    -- they are orthogonal to range(U) = range(A), and any such complement
+    is a valid full-SVD basis since the extra rows of diag(s) are zero.
     """
-    if full_matrices:
-        raise NotImplementedError(
-            "svd: thin SVD only (full_matrices=False); orthonormal "
-            "complements are available via qr(mode='complete')")
     A = to_device(A)
     if A.ndim != 2:
         raise QRShapeError(f"svd needs a 2-D matrix, got shape {A.shape}")
     m, n = A.shape
     if m < n:
-        U, s, Vh = svd(_h(A).T, l0=l0, config=config)
+        U, s, Vh = svd(_h(A).T, full_matrices=full_matrices, l0=l0,
+                       config=config)
         return _h(Vh).T, s, _h(U).T
     Up, H = polar(A, side="right", l0=l0, config=config)
-    return _svd_finish(Up, H, config)
+    U, s, Vh = _svd_finish(Up, H, config)
+    if full_matrices and m > n:
+        from .qr import qr as _qr
+        cfgq = config if jnp.iscomplexobj(U) \
+            else config.replace(dtype=U.dtype)  # don't downcast f64 bases
+        Qc = _qr(U, cfgq, mode="complete")[0]
+        U = jnp.concatenate([U, Qc[:, n:]], axis=1)
+    return U, s, Vh
 
 
 @partial(jax.jit, static_argnames=("config",))

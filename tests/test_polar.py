@@ -128,9 +128,26 @@ def test_svd_complex(rng):
     assert np.abs(s - s_ref).max() < 1e-4 * s_ref[0]
 
 
-def test_svd_full_matrices_unsupported(rng):
-    with pytest.raises(NotImplementedError):
-        ctq.svd(np.eye(4, dtype=np.float32), full_matrices=True)
+def test_svd_full_matrices_tall(rng):
+    A = rng.standard_normal((80, 48)).astype(np.float32)
+    U, s, Vh = ctq.svd(A, full_matrices=True, config=CFG)
+    U, s, Vh = (np.asarray(x, np.float64) for x in (U, s, Vh))
+    assert U.shape == (80, 80) and Vh.shape == (48, 48)
+    assert np.linalg.norm(U.T @ U - np.eye(80)) < 2e-4
+    Smat = np.zeros((80, 48))
+    np.fill_diagonal(Smat, s)
+    assert np.linalg.norm(U @ Smat @ Vh - A) / np.linalg.norm(A) < 5e-6
+
+
+def test_svd_full_matrices_wide(rng):
+    A = rng.standard_normal((32, 56))
+    U, s, Vh = ctq.svd(A, full_matrices=True, config=CFG)
+    U, s, Vh = (np.asarray(x) for x in (U, s, Vh))
+    assert U.shape == (32, 32) and Vh.shape == (56, 56)
+    assert np.linalg.norm(Vh @ Vh.T - np.eye(56)) < 1e-12 * 56
+    Smat = np.zeros((32, 56))
+    np.fill_diagonal(Smat, s)
+    assert np.linalg.norm(U @ Smat @ Vh - A) / np.linalg.norm(A) < 1e-12
 
 
 @pytest.fixture(scope="module")
