@@ -75,6 +75,31 @@ def main():
     # number in BASELINE.md (no cuSOLVER 8192^2 figure was ever published
     # by the reference; its own MMQR reaches 3.77 GFLOP/s)
 
+    # ---- Phase 0: insurance rung.  A 1024^2 record costs ~1 min even
+    # through a degraded tunnel; the 8192^2 factor program costs 23-32 min
+    # to compile OR cache-load (227 MB entry -- docs/PERF.md r3 table), so
+    # without this rung any harness timeout below that records nothing
+    # (round 2's failure mode).  The later phases overwrite this line. ----
+    if on_tpu:
+        ms = 1024
+        As = jnp.asarray(rng.standard_normal((ms, ms)).astype(np.float32))
+        rs = bench(lambda a: qr_blocked(a, QRConfig(dtype=jnp.float32,
+                                                    scan_stages=4)),
+                   As, reps=3, flops=qr_flops(ms, ms))
+        RECORD.update({
+            "metric": f"qr_gflops_{ms}x{ms}_fp32",
+            "value": round(rs.gflops, 1),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(rs.gflops / baseline_gflops, 2),
+            "steady_ms": round(rs.steady_s * 1e3, 1),
+            "compile_s": round(rs.compile_s, 1),
+            "backend": jax.default_backend(),
+            "note": "insurance rung; 8192^2 phases follow",
+        })
+        emit()
+        del As
+        RECORD.pop("note")
+
     # ---- Phase 1: factor-only headline.  Emitted the moment it exists. ----
     r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(m, n))
     RECORD.update({

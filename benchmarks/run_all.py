@@ -297,6 +297,113 @@ def extras_polar(quick: bool):
             "backend": jax.default_backend()}
 
 
+def extras_mixed(quick: bool):
+    """Mixed-precision blocked QR: MIXED_CONFIG runs the trailing/orgqr
+    GEMMs at HIGH precision (bf16x3 on the MXU) with fp32 panel math --
+    the dtype axis the reference exposes as the compile-time Scalar macro
+    (qr.cu:17), recast as a precision preset instead of a rebuild."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.ops.blocked import qr_blocked, orgqr, extract_r
+    from cuda_qr_tpu.utils.config import MIXED_CONFIG
+    from cuda_qr_tpu.utils.timing import bench, qr_flops
+
+    n = 1024 if quick else 4096
+    cfg = MIXED_CONFIG.replace(dtype=jnp.float32, scan_stages=8)
+    rng = np.random.default_rng(12)
+    A = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(n, n))
+    fac = qr_blocked(A, cfg)
+    Q64 = np.asarray(orgqr(fac, n, n, cfg), np.float64)
+    R64 = np.asarray(extract_r(fac, n), np.float64)
+    A64 = np.asarray(A, np.float64)
+    resid = float(np.linalg.norm(Q64 @ R64 - A64) / np.linalg.norm(A64))
+    orth = float(np.linalg.norm(Q64.T @ Q64 - np.eye(n)))
+    return {"config": f"x6: blocked QR {n}^2 MIXED (bf16x3 trailing, fp32 panels)",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "gflops": round(r.gflops, 1),
+            "residual": float(f"{resid:.3e}"),
+            "orthogonality": float(f"{orth:.3e}"),
+            "backend": jax.default_backend()}
+
+
+def extras_mosaic():
+    """Compiled-mode (Mosaic, interpret=False) check + timing of the two
+    custom Pallas kernels on the real device.  CI exercises them
+    interpret-only (tests/conftest.py), so this row is the driver-visible
+    evidence the kernels compile and run through the actual Mosaic stack."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cuda_qr_tpu.ops.pallas_chol import chol_with_inv_pallas
+    from cuda_qr_tpu.ops.pallas_select import select_pivots_pallas
+    from cuda_qr_tpu.utils.timing import bench
+
+    rng = np.random.default_rng(12)
+    nb = 128
+    # SPD Gram with unit diagonal dominance, the qr_blocked shape
+    X = rng.standard_normal((1024, nb)).astype(np.float32)
+    G = jnp.asarray(X.T @ X / 1024 + 0.1 * np.eye(nb, dtype=np.float32))
+    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G, reps=3)
+    L, Li = chol_with_inv_pallas(G, interpret=False)
+    L64, Li64 = np.asarray(L, np.float64), np.asarray(Li, np.float64)
+    G64 = np.asarray(G, np.float64)
+    chol_err = float(np.linalg.norm(L64 @ L64.T - G64)
+                     / np.linalg.norm(G64))
+    inv_err = float(np.linalg.norm(Li64 @ L64 - np.eye(nb)))
+
+    l, cand = 128, 512
+    Sc = jnp.asarray(rng.standard_normal((l, cand)).astype(np.float32))
+    norms = jnp.asarray((np.asarray(Sc) ** 2).sum(0))
+    rs = bench(lambda s, nn: select_pivots_pallas(s, nn, nb,
+                                                  interpret=False),
+               Sc, norms, reps=3)
+    order = np.asarray(select_pivots_pallas(Sc, norms, nb, interpret=False))
+    nsel = int((order >= 0).sum())
+    return {"config": "x7: Mosaic kernels compiled (chol+inv 128, "
+                      "pivot-select 128/512)",
+            "chol_us": round(rc.steady_s * 1e6, 1),
+            "select_us": round(rs.steady_s * 1e6, 1),
+            "chol_resid": float(f"{chol_err:.3e}"),
+            "inv_resid": float(f"{inv_err:.3e}"),
+            "pivots_selected": nsel,
+            "ok": bool(chol_err < 1e-5 and inv_err < 1e-4 and nsel == nb),
+            "backend": jax.default_backend()}
+
+
+def extras_eigh(quick: bool):
+    """Beyond-parity: deterministic QDWH-eig Hermitian eigendecomposition
+    (spectral divide-and-conquer over in-house polar/QRCP; models/eigh.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cuda_qr_tpu.models.eigh import eigh
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    n = 256 if quick else 1024
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=4)
+    rng = np.random.default_rng(12)
+    G = rng.standard_normal((n, n))
+    A = jnp.asarray(((G + G.T) / np.sqrt(2 * n)).astype(np.float32))
+    r = bench(lambda a: eigh(a, cfg), A, reps=2)
+    w, V = eigh(A, cfg)
+    w64, V64 = np.asarray(w, np.float64), np.asarray(V, np.float64)
+    A64 = np.asarray(A, np.float64)
+    resid = float(np.linalg.norm(A64 @ V64 - V64 * w64[None, :])
+                  / np.linalg.norm(A64))
+    orth = float(np.linalg.norm(V64.T @ V64 - np.eye(n)))
+    werr = float(np.abs(np.sort(w64) - np.linalg.eigvalsh(A64)).max()
+                 / np.abs(w64).max())
+    return {"config": f"x8: eigh (QDWH-eig D&C) {n}^2 fp32",
+            "steady_ms": round(r.steady_s * 1e3, 1),
+            "residual": float(f"{resid:.3e}"),
+            "orthogonality": float(f"{orth:.3e}"),
+            "eigval_rel_err": float(f"{werr:.3e}"),
+            "backend": jax.default_backend()}
+
+
 def extras_lstsq_dist():
     """Beyond-parity: distributed lstsq on the virtual 8-device mesh
     (augmented-matrix CAQR; correctness, not wall-clock)."""
@@ -330,40 +437,82 @@ def extras_lstsq_dist():
     return rec
 
 
+# key -> (thunk factory).  Row identity in RESULTS.md is the text before
+# the first ':' of the "config" field, so --only reruns replace in place.
+def _registry(quick: bool):
+    return [
+        ("1", config1_oracle),
+        ("2", lambda: config2_blocked(quick)),
+        ("2b", lambda: config2b_fp64(quick)),
+        ("3", lambda: config3_tsqr(quick)),
+        ("4", lambda: config4_lstsq(quick)),
+        ("5", config5_caqr),
+        ("x1", lambda: extras_decomp(quick)),
+        ("x2", lambda: extras_rsvd(quick)),
+        ("x5", lambda: extras_eigh_rand(quick)),
+        ("x4", lambda: extras_polar(quick)),
+        ("x3", extras_lstsq_dist),
+        ("x6", lambda: extras_mixed(quick)),
+        ("x7", extras_mosaic),
+        ("x8", lambda: extras_eigh(quick)),
+    ]
+
+
+def _existing_rows(path):
+    """config-key -> full table line, parsed from the current RESULTS.md."""
+    rows = {}
+    if not os.path.exists(path):
+        return rows
+    for line in open(path):
+        line = line.rstrip("\n")
+        if line.startswith("| ") and ": " in line and "{" in line:
+            key = line[2:].split(":", 1)[0].strip()
+            rows[key] = line
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated config keys (e.g. 2,3,x6); "
+                         "other rows are kept from the existing RESULTS.md")
     args = ap.parse_args()
-    records = []
-    for fn in (config1_oracle,
-               lambda: config2_blocked(args.quick),
-               lambda: config2b_fp64(args.quick),
-               lambda: config3_tsqr(args.quick),
-               lambda: config4_lstsq(args.quick),
-               config5_caqr,
-               lambda: extras_decomp(args.quick),
-               lambda: extras_rsvd(args.quick),
-               lambda: extras_eigh_rand(args.quick),
-               lambda: extras_polar(args.quick),
-               extras_lstsq_dist):
+    reg = _registry(args.quick)
+    only = set(args.only.split(",")) if args.only else None
+    results_path = os.path.join(REPO, "RESULTS.md")
+    old_rows = _existing_rows(results_path)
+    if only:
+        unknown = only - {k for k, _ in reg}
+        if unknown:
+            ap.error(f"unknown config keys: {sorted(unknown)}")
+
+    lines_by_key = {}
+    for key, fn in reg:
+        if only is not None and key not in only:
+            if key in old_rows:
+                lines_by_key[key] = old_rows[key]
+            continue
         t0 = time.time()
-        rec = fn() if not isinstance(fn, str) else None
+        try:
+            rec = fn()
+        except Exception as e:  # keep the sweep alive; record the failure
+            rec = {"config": f"{key}: FAILED", "error": repr(e)[:200]}
         rec["elapsed_s"] = round(time.time() - t0, 1)
-        records.append(rec)
         print(json.dumps(rec), flush=True)
+        cfg = rec.pop("config")
+        lines_by_key[key] = f"| {cfg} | {json.dumps(rec)} |"
 
     lines = ["# RESULTS — BASELINE.json configs",
              "",
              "Generated by `python benchmarks/run_all.py`. Hardware: one TPU",
-             "v5e chip via the axon tunnel (configs 2-4); x86 host (configs 1",
-             "and 2b, native C oracle / CPU XLA); virtual 8-device CPU mesh",
-             "(config 5).",
+             "v5e chip via the axon tunnel (configs 2-4, x1-x2, x4-x8); x86",
+             "host (configs 1 and 2b, native C oracle / CPU XLA); virtual",
+             "8-device CPU mesh (configs 5 and x3).",
              "", "| Config | Result |", "|---|---|"]
-    for rec in records:
-        cfg = rec.pop("config")
-        lines.append(f"| {cfg} | {json.dumps(rec)} |")
+    lines += [lines_by_key[k] for k, _ in reg if k in lines_by_key]
     lines += ["", MESH_SCALING.rstrip(), "", FEASIBILITY_65536.rstrip()]
-    with open(os.path.join(REPO, "RESULTS.md"), "w") as f:
+    with open(results_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote RESULTS.md")
 

@@ -10,6 +10,7 @@ C99 oracle implementing the reference's sliding-panel algorithm.
 from .models.batched import qr_batched
 from .models.caqr import caqr, caqr_r
 from .models.decomp import lq, ql, qr_multiply, rq
+from .models.eigh import eigh, eigh_batched
 from .models.lstsq import LstsqResult, lstsq, lstsq_dist, solve
 from .models.polar import polar, polar_dist, svd
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
@@ -41,7 +42,7 @@ __all__ = [
     "lstsq", "lstsq_dist", "solve", "LstsqResult",
     "matrix_rank", "pinv", "null_space", "lstsq_rr", "slogdet",
     "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist",
-    "eigh_rand", "eigh_rand_dist", "norm2_est", "cond_est",
+    "eigh", "eigh_batched", "eigh_rand", "eigh_rand_dist", "norm2_est", "cond_est",
     "polar", "polar_dist", "svd",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
     "to_device", "to_host",

@@ -435,6 +435,45 @@ def _cmd_eigh_rand(args, cfg, rng):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_eigh(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.eigh import eigh
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    n = args.m
+    # GOE-like symmetric matrix: dense spectrum, no pathological gaps
+    G = rng.standard_normal((n, n))
+    A = jnp.asarray((G + G.T) / np.sqrt(2 * n), dtype=cfg.dtype)
+    r = bench(lambda a: eigh(a, cfg, base_n=args.base_n), A,
+              reps=args.trials)
+    rec = {"cmd": "eigh", "n": n, "dtype": args.dtype,
+           "base_n": args.base_n,
+           "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        w, V = eigh(A, cfg, base_n=args.base_n)
+        w = np.asarray(w, np.float64)
+        V = np.asarray(V, np.float64)
+        A64 = np.asarray(A, np.float64)
+        resid = float(np.linalg.norm(A64 @ V - V * w[None, :])
+                      / np.linalg.norm(A64))
+        orth = float(np.linalg.norm(V.T @ V - np.eye(n)))
+        werr = float(np.abs(np.sort(w) - np.linalg.eigvalsh(A64)).max()
+                     / np.abs(w).max())
+        eps = 1.2e-7 if args.dtype != "f64" else 2.3e-16
+        rec |= {"residual": resid, "orthogonality": orth,
+                "eigval_rel_err": werr,
+                # V is a depth-O(log n) product of QRCP bases and Jacobi
+                # rotations; 4n*eps matches the batched-orthogonality
+                # convention above (cmd_batched)
+                "ok": resid < n * eps and orth < 4 * n * eps}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def main(argv=None):
     from .utils.cache import enable_persistent_cache
     enable_persistent_cache()  # amortize XLA compiles across CLI invocations
@@ -503,6 +542,9 @@ def main(argv=None):
     sp.add_argument("m", type=int)
     sp.add_argument("n", type=int)
     sp.add_argument("--cond", type=float, default=100.0)
+    sp = sub.add_parser("eigh")
+    sp.add_argument("m", type=int)
+    sp.add_argument("--base-n", type=int, default=128)
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
@@ -518,7 +560,7 @@ def main(argv=None):
             "caqr": cmd_caqr, "pivoted": cmd_pivoted,
             "batched": cmd_batched, "update": cmd_update,
             "decomp": cmd_decomp, "rsvd": cmd_rsvd,
-            "polar": cmd_polar}[args.cmd](args)
+            "polar": cmd_polar, "eigh": cmd_eigh}[args.cmd](args)
 
 
 if __name__ == "__main__":

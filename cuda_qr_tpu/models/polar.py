@@ -265,7 +265,7 @@ def _form_h_dist(U, A, config: QRConfig):
 
 
 def svd(A, full_matrices: bool = False, l0: float | None = None,
-        config: QRConfig = DEFAULT_CONFIG):
+        config: QRConfig = DEFAULT_CONFIG, eigh_impl: str = "xla"):
     """Singular value decomposition via QDWH-SVD (Nakatsukasa-Higham 2013).
 
     A = U diag(s) V^H with s descending.  Structure: the polar factor comes
@@ -280,17 +280,34 @@ def svd(A, full_matrices: bool = False, l0: float | None = None,
     orthonormal basis: the complement columns come from qr(U, 'complete')
     -- they are orthogonal to range(U) = range(A), and any such complement
     is a valid full-SVD basis since the extra rows of diag(s) are zero.
+
+    eigh_impl: "xla" (default) diagonalizes H with jnp.linalg.eigh;
+    "qdwh" uses the in-house QDWH-eig divide-and-conquer (models/eigh.py)
+    so no stage of the SVD delegates to an XLA factorization.  Routing
+    data: docs/PERF.md "eigh dependency" section.
     """
     A = to_device(A)
     if A.ndim != 2:
         raise QRShapeError(f"svd needs a 2-D matrix, got shape {A.shape}")
+    if eigh_impl not in ("xla", "qdwh"):
+        raise ValueError(f"eigh_impl must be 'xla' or 'qdwh', got "
+                         f"{eigh_impl!r}")
     m, n = A.shape
     if m < n:
         U, s, Vh = svd(_h(A).T, full_matrices=full_matrices, l0=l0,
-                       config=config)
+                       config=config, eigh_impl=eigh_impl)
         return _h(Vh).T, s, _h(U).T
     Up, H = polar(A, side="right", l0=l0, config=config)
-    U, s, Vh = _svd_finish(Up, H, config)
+    if eigh_impl == "qdwh":
+        from .eigh import eigh as _eigh
+        w, V = _eigh(H, config)
+        w = jnp.maximum(w[::-1], 0.0)
+        V = V[:, ::-1]
+        U = _einsum("ik,kj->ij", Up, V, precision=config.precision)
+        U, s, Vh = (U.astype(Up.dtype), w.astype(jnp.abs(H).dtype),
+                    _h(V).T.astype(Up.dtype))
+    else:
+        U, s, Vh = _svd_finish(Up, H, config)
     if full_matrices and m > n:
         from .qr import qr as _qr
         cfgq = config if jnp.iscomplexobj(U) \
