@@ -83,9 +83,12 @@ def main():
     if on_tpu:
         ms = 1024
         As = jnp.asarray(rng.standard_normal((ms, ms)).astype(np.float32))
+        # reps=10: reps are queued asynchronously and forced once, so a
+        # degraded tunnel's RTT amortizes to RTT/reps per call -- at reps=3
+        # a slow day adds ~10-30 ms/call to every "steady" number.
         rs = bench(lambda a: qr_blocked(a, QRConfig(dtype=jnp.float32,
                                                     scan_stages=4)),
-                   As, reps=3, flops=qr_flops(ms, ms))
+                   As, reps=10, flops=qr_flops(ms, ms))
         RECORD.update({
             "metric": f"qr_gflops_{ms}x{ms}_fp32",
             "value": round(rs.gflops, 1),
@@ -101,7 +104,8 @@ def main():
         RECORD.pop("note")
 
     # ---- Phase 1: factor-only headline.  Emitted the moment it exists. ----
-    r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(m, n))
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=10 if on_tpu else 3,
+              flops=qr_flops(m, n))
     RECORD.update({
         "metric": f"qr_gflops_{m}x{n}_fp32",
         "value": round(r.gflops, 1),
@@ -131,7 +135,7 @@ def main():
     def q_and_r(fac):
         return orgqr(fac, m, n, cfg), extract_r(fac, n)
 
-    r_q = bench(q_and_r, fac, reps=3)
+    r_q = bench(q_and_r, fac, reps=10 if on_tpu else 3)
     RECORD["q_plus_r_ms"] = round((r.steady_s + r_q.steady_s) * 1e3, 1)
     RECORD["q_plus_r_form"] = "factor+orgqr program sum"
     RECORD["q_plus_r_compile_s"] = round(r_q.compile_s, 1)

@@ -177,12 +177,23 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
 
     Panels are processed in lookahead groups of g = factor_lookahead (when
     it divides k): a group slices its g*nb columns out of A ONCE, factors
-    them with exact-width internal updates, stores each packed panel into a
+    them LEFT-LOOKING -- an inner fori_loop in which member l first applies
+    the group's earlier reflectors (pulled from stacked V/T side arrays) to
+    its own block, then factors it -- stores each packed panel into a
     stacked (k, m, nb) side array (never written back into A -- per-panel
     writes into the carried submatrix cost more than the trailing GEMMs,
     docs/PERF.md), and applies ONE merged g*nb-deep masked block reflector
     to A.  The group's own columns in A go stale; the side stack is the
     source of truth, reassembled as one transpose+reshape at the end.
+
+    Left-looking vs the earlier right-looking unroll: identical FLOPs and
+    per-column floating-point order (each block receives V_0..V_{l-1} in
+    sequence either way), but the panel graph -- the largest subgraph in
+    the program, instantiated per inlined call site -- appears ONCE per
+    stage instead of g times.  Measured at 8192^2/s16 this is the
+    difference between a ~227 MB and a ~60 MB serialized executable, i.e.
+    between ~25 min and a few min of remote compile/cache-load through the
+    device tunnel (docs/PERF.md "Compile economics").
     """
     m_sub, n_sub = A.shape
     nb = config.panel_width
@@ -197,34 +208,56 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
         i0 = j * g
         cols = jax.lax.dynamic_slice(A, (jnp.int32(0), i0 * nb),
                                      (m_sub, g * nb))
-        blocks = [cols[:, l * nb:(l + 1) * nb] for l in range(g)]
-        Vs, Tl = [], []
-        for l in range(g):
+
+        def member(l, mc):
+            l = jnp.asarray(l, jnp.int32)
+            Vstk, Tstk, Ps, taus, Ts, VJs = mc
             i = i0 + l
             off = i * nb
-            packed, tau, T, VJ = _panel_factor_dyn(blocks[l], off, config)
+            block = jax.lax.dynamic_slice(cols, (jnp.int32(0), l * nb),
+                                          (m_sub, nb))
+
+            def apply_prev(jj, b):
+                jj = jnp.asarray(jj, jnp.int32)
+                Vj = jax.lax.dynamic_slice(
+                    Vstk, (jj, jnp.int32(0), jnp.int32(0)),
+                    (1, m_sub, nb))[0]
+                Tj = jax.lax.dynamic_slice(
+                    Tstk, (jj, jnp.int32(0), jnp.int32(0)), (1, nb, nb))[0]
+                return larfb(b, Vj, Tj, transpose=True,
+                             precision=prec).astype(b.dtype)
+
+            block = jax.lax.fori_loop(0, l, apply_prev, block)
+            packed, tau, T, VJ = _panel_factor_dyn(block, off, config)
             V = panel_v(packed, off, VJ)
+            Vstk = jax.lax.dynamic_update_slice(
+                Vstk, V[None].astype(Vstk.dtype),
+                (l, jnp.int32(0), jnp.int32(0)))
+            # Panel methods may return bf16 tau/T; the carries are float32
+            # for bf16 inputs, so cast to the carry dtype before updating.
+            Tstk = jax.lax.dynamic_update_slice(
+                Tstk, T[None].astype(Tstk.dtype),
+                (l, jnp.int32(0), jnp.int32(0)))
             Ps = jax.lax.dynamic_update_slice(
                 Ps, packed[None].astype(Ps.dtype),
                 (i, jnp.int32(0), jnp.int32(0)))
-            # Panel methods may return bf16 tau/T; the carries are float32
-            # for bf16 inputs, so cast to the carry dtype before updating.
             taus = jax.lax.dynamic_update_slice(
                 taus, tau[None].astype(taus.dtype), (i, jnp.int32(0)))
-            Ts = jax.lax.dynamic_update_slice(
-                Ts, T[None].astype(Ts.dtype), (i, jnp.int32(0), jnp.int32(0)))
             VJs = jax.lax.dynamic_update_slice(
                 VJs, VJ[None].astype(VJs.dtype),
                 (i, jnp.int32(0), jnp.int32(0)))
-            Vs.append(V)
-            Tl.append(T.astype(tdt))
-            if l + 1 < g:
-                # exact-width update of the group's remaining columns
-                rest = jnp.concatenate(blocks[l + 1:], axis=1)
-                rest = larfb(rest, V, Tl[-1], transpose=True,
-                             precision=prec).astype(A.dtype)
-                for ll in range(l + 1, g):
-                    blocks[ll] = rest[:, (ll - l - 1) * nb:(ll - l) * nb]
+            return Vstk, Tstk, Ps, taus, Ts, VJs
+
+        Vstk0 = jnp.zeros((g, m_sub, nb), A.dtype)
+        Tstk0 = jnp.zeros((g, nb, nb), tdt)
+        Vstk, Tstk, Ps, taus, Ts, VJs = jax.lax.fori_loop(
+            0, g, member, (Vstk0, Tstk0, Ps, taus, Ts, VJs))
+        # Ts carries ALL k panels; the stage's g fresh ones come from Tstk.
+        Ts = jax.lax.dynamic_update_slice(
+            Ts, Tstk.astype(Ts.dtype), (i0, jnp.int32(0), jnp.int32(0)))
+        # merge the group's reflectors (unrolled log-depth tree of GEMMs)
+        Vs = [Vstk[l] for l in range(g)]
+        Tl = [Tstk[l] for l in range(g)]
         V, T = _merge_group(Vs, Tl, prec)
         end = (i0 + g) * nb
         W = _einsum("ri,rj->ij", _h(V), A, precision=prec)      # V^H A

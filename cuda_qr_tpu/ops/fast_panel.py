@@ -214,13 +214,14 @@ def panel_factor_cholqr2bk(panel: jnp.ndarray, off, config: QRConfig):
         qd = jnp.diagonal(QJ)
         s = jnp.where(qd >= 0, -1, 1).astype(dtype)   # diag(I - S QJ) >= 1
         M = jnp.eye(nb, dtype=dtype) - s[:, None] * QJ
-        N, err = newton_inverse(M, prec)
-        ns_tol = 2e-4 if dtype == jnp.float32 else 3e-8
-        N = jax.lax.cond(
-            err <= ns_tol, lambda _: N,
-            lambda M: (lambda L, U, Li, Ui: jnp.einsum(
-                "ij,jk->ik", Ui, Li, precision=prec))(*lu_with_inv(M, prec)),
-            M)
+        # No in-graph LU fallback for a failed Newton iteration: a
+        # non-converged N fails the a-posteriori certificate below (errN
+        # stays large), which routes the panel to the provably-stable
+        # Householder reconstruction -- the same destination an exact
+        # inverse of an ill-conditioned M would need anyway.  Dropping the
+        # dead lax.cond(lu_with_inv) branch removes ~1/4 of the optimized
+        # panel graph, which the staged driver instantiates per stage.
+        N, _ = newton_inverse(M, prec)
 
         def bk_assemble(_):
             T = N.T

@@ -37,10 +37,11 @@ def main(argv: list[str]) -> int:
     for mod in modules:
         name = os.path.basename(mod)
         t1 = time.time()
+        env = dict(os.environ, CUDA_QR_SUITE_ISOLATED="1")
         proc = subprocess.run(
             [sys.executable, "-m", "pytest", mod, "-q", "--no-header",
              *argv],
-            cwd=os.path.dirname(here))
+            cwd=os.path.dirname(here), env=env)
         dt = time.time() - t1
         status = "ok" if proc.returncode == 0 else f"FAIL rc={proc.returncode}"
         # rc=5 is pytest's "no tests collected" (e.g. -k filtered all out)
