@@ -46,7 +46,7 @@ def config2_blocked(quick: bool):
     cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-    r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(n, n))
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=10, flops=qr_flops(n, n))
     H = jax.lax.Precision.HIGHEST
 
     @jax.jit
@@ -112,7 +112,7 @@ def config3_tsqr(quick: bool):
     cfg = QRConfig(dtype=jnp.float32, block_rows=1024, tsqr_leaf="cholqr2")
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
-    r = bench(lambda a: tsqr(a, cfg), A, reps=2, flops=qr_flops(m, n))
+    r = bench(lambda a: tsqr(a, cfg), A, reps=10, flops=qr_flops(m, n))
     H = jax.lax.Precision.HIGHEST
     Q, R = tsqr(A, cfg)
     resid = float(jnp.linalg.norm(
@@ -138,7 +138,7 @@ def config4_lstsq(quick: bool):
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     x_true = jnp.asarray(rng.standard_normal((n, 1)).astype(np.float32))
     b = A @ x_true
-    r = bench(lambda a, bb: lstsq(a, bb, cfg), A, b, reps=2)
+    r = bench(lambda a, bb: lstsq(a, bb, cfg), A, b, reps=10)
     res = lstsq(A, b, cfg)
     err = float(jnp.max(jnp.abs(res.x - x_true)) / jnp.max(jnp.abs(x_true)))
     return {"config": f"4: lstsq (orgqr/ormqr + trsm) {m}x{n} fp32",
@@ -192,7 +192,7 @@ def extras_decomp(quick: bool):
     cfg = QRConfig(dtype=jnp.float32, scan_stages=8)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
-    r = bench(lambda a: lq(a, cfg), A, reps=3, flops=qr_flops(n, m))
+    r = bench(lambda a: lq(a, cfg), A, reps=10, flops=qr_flops(n, m))
     L, Q = lq(A, cfg)
     L64 = np.asarray(L, np.float64)
     Q64 = np.asarray(Q, np.float64)
@@ -223,7 +223,7 @@ def extras_rsvd(quick: bool):
     V = np.linalg.qr(rng.standard_normal((n, r_full)))[0]
     sv = 0.9 ** np.arange(r_full)
     A = jnp.asarray(((U * sv) @ V.T).astype(np.float32))
-    r = bench(lambda a: rsvd(a, k, n_iter=2, config=cfg), A, reps=3)
+    r = bench(lambda a: rsvd(a, k, n_iter=2, config=cfg), A, reps=10)
     Uk, sk, Vtk = rsvd(A, k, n_iter=2, config=cfg)
     err = float(np.linalg.norm(
         (np.asarray(Uk, np.float64) * np.asarray(sk, np.float64))
@@ -253,7 +253,7 @@ def extras_eigh_rand(quick: bool):
     V = np.linalg.qr(rng.standard_normal((m, r_full)))[0]
     w = 0.9 ** np.arange(r_full) * np.where(np.arange(r_full) % 2, -1., 1.)
     A = jnp.asarray(((V * w) @ V.T).astype(np.float32))
-    r = bench(lambda a: eigh_rand(a, k, n_iter=2, config=cfg), A, reps=3)
+    r = bench(lambda a: eigh_rand(a, k, n_iter=2, config=cfg), A, reps=10)
     wk, Vk = eigh_rand(A, k, n_iter=2, config=cfg)
     wk, Vk = np.asarray(wk, np.float64), np.asarray(Vk, np.float64)
     err = float(np.linalg.norm(
@@ -283,7 +283,7 @@ def extras_polar(quick: bool):
     V = np.linalg.qr(rng.standard_normal((k, k)))[0]
     sv = np.geomspace(1.0, 1e-4, k)
     A = jnp.asarray(((U * sv) @ V).astype(np.float32))
-    r = bench(lambda a: polar(a, config=cfg), A, reps=3)
+    r = bench(lambda a: polar(a, config=cfg), A, reps=10)
     Up, Hp = polar(A, config=cfg)
     Up64 = np.asarray(Up, np.float64)
     Hp64 = np.asarray(Hp, np.float64)
@@ -313,7 +313,7 @@ def extras_mixed(quick: bool):
     cfg = MIXED_CONFIG.replace(dtype=jnp.float32, scan_stages=8)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-    r = bench(lambda a: qr_blocked(a, cfg), A, reps=3, flops=qr_flops(n, n))
+    r = bench(lambda a: qr_blocked(a, cfg), A, reps=10, flops=qr_flops(n, n))
     fac = qr_blocked(A, cfg)
     Q64 = np.asarray(orgqr(fac, n, n, cfg), np.float64)
     R64 = np.asarray(extract_r(fac, n), np.float64)
@@ -345,7 +345,7 @@ def extras_mosaic():
     # SPD Gram with unit diagonal dominance, the qr_blocked shape
     X = rng.standard_normal((1024, nb)).astype(np.float32)
     G = jnp.asarray(X.T @ X / 1024 + 0.1 * np.eye(nb, dtype=np.float32))
-    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G, reps=3)
+    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G, reps=10)
     L, Li = chol_with_inv_pallas(G, interpret=False)
     L64, Li64 = np.asarray(L, np.float64), np.asarray(Li, np.float64)
     G64 = np.asarray(G, np.float64)
@@ -358,7 +358,7 @@ def extras_mosaic():
     norms = jnp.asarray((np.asarray(Sc) ** 2).sum(0))
     rs = bench(lambda s, nn: select_pivots_pallas(s, nn, nb,
                                                   interpret=False),
-               Sc, norms, reps=3)
+               Sc, norms, reps=10)
     order = np.asarray(select_pivots_pallas(Sc, norms, nb, interpret=False))
     nsel = int((order >= 0).sum())
     return {"config": "x7: Mosaic kernels compiled (chol+inv 128, "
@@ -387,7 +387,7 @@ def extras_eigh(quick: bool):
     rng = np.random.default_rng(12)
     G = rng.standard_normal((n, n))
     A = jnp.asarray(((G + G.T) / np.sqrt(2 * n)).astype(np.float32))
-    r = bench(lambda a: eigh(a, cfg), A, reps=2)
+    r = bench(lambda a: eigh(a, cfg), A, reps=10)
     w, V = eigh(A, cfg)
     w64, V64 = np.asarray(w, np.float64), np.asarray(V, np.float64)
     A64 = np.asarray(A, np.float64)
