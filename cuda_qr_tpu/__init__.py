@@ -12,7 +12,7 @@ from .models.caqr import caqr, caqr_r
 from .models.decomp import lq, ql, qr_multiply, rq
 from .models.eigh import eigh, eigh_batched
 from .models.lstsq import LstsqResult, lstsq, lstsq_dist, solve
-from .models.polar import polar, polar_dist, svd
+from .models.polar import polar, polar_dist, svd, svd_dist
 from .models.qr import qr, qr_factor, qr_pivoted, QRResult
 from .models.rank import lstsq_rr, matrix_rank, null_space, pinv, slogdet
 from .models.rsvd import (cond_est, eigh_rand, eigh_rand_dist, norm2_est,
@@ -43,7 +43,7 @@ __all__ = [
     "matrix_rank", "pinv", "null_space", "lstsq_rr", "slogdet",
     "lq", "rq", "ql", "qr_multiply", "orth", "rsvd", "rsvd_dist",
     "eigh", "eigh_batched", "eigh_rand", "eigh_rand_dist", "norm2_est", "cond_est",
-    "polar", "polar_dist", "svd",
+    "polar", "polar_dist", "svd", "svd_dist",
     "row_mesh", "row_sharding", "QRError", "QRShapeError", "QRNumericalError",
     "to_device", "to_host",
 ]

@@ -317,6 +317,60 @@ def svd(A, full_matrices: bool = False, l0: float | None = None,
     return U, s, Vh
 
 
+def svd_dist(A, mesh, l0: float | None = None,
+             config: QRConfig = DEFAULT_CONFIG, strategy: str | None = None,
+             eigh_impl: str = "xla", max_iter: int = 24):
+    """Distributed deterministic SVD of a row-sharded tall matrix.
+
+    A = U diag(s) V^H with U (m x n, orthonormal columns) row-sharded over
+    the mesh, s descending, and V^H (n x n) replicated.  QDWH-SVD on the
+    mesh: the polar factor comes from ``polar_dist`` (tsqr_dist + psum'd
+    Cholesky steps -- the only collectives in the pipeline), the n x n
+    Hermitian factor H is replicated so its eigendecomposition runs
+    shard-locally, and U = U_polar V is one shard-local GEMM against the
+    replicated V.  Completes the distributed solver layer's spectral story
+    (rsvd_dist is randomized/truncated; this is the exact factorization).
+    The reference has no distributed code at all (SURVEY.md S2,
+    jobfile:4-6).
+
+    eigh_impl: "xla" (default) or "qdwh" (the in-house divide-and-conquer,
+    models/eigh.py) for the replicated n x n eigendecomposition.
+    full_matrices is not offered: a distributed orthonormal complement of
+    range(A) is all-communication and no caller of the thin SVD needs it.
+    """
+    if A.ndim != 2:
+        raise QRShapeError(f"svd_dist needs a 2-D matrix, got {A.shape}")
+    if eigh_impl not in ("xla", "qdwh"):
+        raise ValueError(f"eigh_impl must be 'xla' or 'qdwh', got "
+                         f"{eigh_impl!r}")
+    Up, H = polar_dist(A, mesh, l0=l0, config=config, strategy=strategy,
+                       max_iter=max_iter)
+    if eigh_impl == "qdwh":
+        from .eigh import eigh as _eigh
+        cfge = config if jnp.iscomplexobj(H) \
+            else config.replace(dtype=H.dtype)
+        w, V = _eigh(H, cfge)
+        w, V = w[::-1], V[:, ::-1]
+    else:
+        w, V = _svd_eigh_desc(H)
+    s = jnp.maximum(w, 0.0).real.astype(jnp.abs(H).dtype)
+    U = _svd_rotate(Up, V.astype(Up.dtype), config)
+    return U, s, _h(V).T.astype(Up.dtype)
+
+
+@jax.jit
+def _svd_eigh_desc(H):
+    w, V = jnp.linalg.eigh(H)          # ascending
+    return w[::-1], V[:, ::-1]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _svd_rotate(Up, V, config: QRConfig):
+    """U = U_polar V: row-sharded x replicated -> shard-local GEMM."""
+    return _einsum("ik,kj->ij", Up, V,
+                   precision=config.precision).astype(Up.dtype)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _svd_finish(Up, H, config: QRConfig):
     w, V = jnp.linalg.eigh(H)          # ascending

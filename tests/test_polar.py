@@ -204,3 +204,38 @@ def test_schedule_static_convergence():
             assert use_qr == (c > 100.0)
             l = l * (a + b * l * l) / (1.0 + c * l * l)
         assert abs(1.0 - l) <= 5 * eps
+
+
+def test_svd_dist_matches_numpy(rng, mesh):
+    A = rng.standard_normal((256, 32)).astype(np.float32)
+    U, s, Vh = ctq.svd_dist(A, mesh, config=CFG)
+    U, s, Vh = (np.asarray(x, np.float64) for x in (U, s, Vh))
+    A64 = A.astype(np.float64)
+    assert np.linalg.norm((U * s) @ Vh - A64) / np.linalg.norm(A64) < 1e-5
+    assert np.linalg.norm(U.T @ U - np.eye(32)) < 32 * 5e-6
+    assert np.linalg.norm(Vh @ Vh.T - np.eye(32)) < 32 * 5e-6
+    s_ref = np.linalg.svd(A64, compute_uv=False)
+    assert np.abs(s - s_ref).max() < 1e-4 * s_ref[0]
+    assert (np.diff(s) <= 1e-6).all()
+
+
+def test_svd_dist_qdwh_eigh_f64(rng, mesh):
+    # fully in-house distributed pipeline: no XLA eigensolver anywhere
+    A = rng.standard_normal((128, 16))
+    U, s, Vh = ctq.svd_dist(A, mesh,
+                            config=ctq.QRConfig(dtype=jnp.float64,
+                                                panel_width=16,
+                                                scan_stages=2),
+                            eigh_impl="qdwh")
+    U, s, Vh = (np.asarray(x, np.float64) for x in (U, s, Vh))
+    assert np.linalg.norm((U * s) @ Vh - A) / np.linalg.norm(A) < 1e-12
+    assert np.linalg.norm(U.T @ U - np.eye(16)) < 1e-12 * 16
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    assert np.abs(s - s_ref).max() < 1e-11 * s_ref[0]
+
+
+def test_svd_dist_errors(rng, mesh):
+    with pytest.raises(ctq.QRShapeError):
+        ctq.svd_dist(np.zeros((16, 32), np.float32), mesh)  # wide
+    with pytest.raises(ValueError):
+        ctq.svd_dist(np.zeros((64, 8), np.float32), mesh, eigh_impl="nope")
