@@ -95,6 +95,8 @@ def main():
             "unit": "GFLOP/s",
             "vs_baseline": round(rs.gflops / baseline_gflops, 2),
             "steady_ms": round(rs.steady_s * 1e3, 1),
+            "steady_net_ms": round(rs.steady_net_s * 1e3, 1),
+            "rtt_ms": round(rs.rtt_s * 1e3, 1),
             "compile_s": round(rs.compile_s, 1),
             "backend": jax.default_backend(),
             "note": "insurance rung; 8192^2 phases follow",
@@ -112,6 +114,11 @@ def main():
         "unit": "GFLOP/s",
         "vs_baseline": round(r.gflops / baseline_gflops, 2),
         "steady_ms": round(r.steady_s * 1e3, 1),
+        # device-time estimate with the forced-sync tunnel RTT share
+        # removed (utils/timing.py steady_net_s); steady_ms stays the
+        # conservative headline
+        "steady_net_ms": round(r.steady_net_s * 1e3, 1),
+        "rtt_ms": round(r.rtt_s * 1e3, 1),
         "compile_s": round(r.compile_s, 1),
         "backend": jax.default_backend(),
     })
@@ -137,6 +144,8 @@ def main():
 
     r_q = bench(q_and_r, fac, reps=10 if on_tpu else 3)
     RECORD["q_plus_r_ms"] = round((r.steady_s + r_q.steady_s) * 1e3, 1)
+    RECORD["q_plus_r_net_ms"] = round(
+        (r.steady_net_s + r_q.steady_net_s) * 1e3, 1)
     RECORD["q_plus_r_form"] = "factor+orgqr program sum"
     RECORD["q_plus_r_compile_s"] = round(r_q.compile_s, 1)
     emit()

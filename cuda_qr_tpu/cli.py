@@ -368,6 +368,44 @@ def cmd_polar(args):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_svd(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from .models.polar import svd
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    rng = np.random.default_rng(args.seed)
+    k = min(args.m, args.n)
+    U = np.linalg.qr(rng.standard_normal((args.m, k)))[0]
+    V = np.linalg.qr(rng.standard_normal((args.n, k)))[0]
+    s_true = np.geomspace(1.0, 1.0 / max(args.cond, 1.0), k)
+    A = jnp.asarray((U * s_true) @ V.T, dtype=cfg.dtype)
+    r = bench(lambda a: svd(a, config=cfg, eigh_impl=args.eigh_impl), A,
+              reps=args.trials)
+    rec = {"cmd": "svd", "m": args.m, "n": args.n, "cond": args.cond,
+           "eigh_impl": args.eigh_impl, "dtype": args.dtype,
+           "steady_ms": round(r.steady_s * 1e3, 2),
+           "compile_s": round(r.compile_s, 1)}
+    if not args.no_verify:
+        Us, ss, Vh = svd(A, config=cfg, eigh_impl=args.eigh_impl)
+        Us = np.asarray(Us, np.float64)
+        ss = np.asarray(ss, np.float64)
+        Vh = np.asarray(Vh, np.float64)
+        A64 = np.asarray(A, np.float64)
+        resid = float(np.linalg.norm((Us * ss) @ Vh - A64)
+                      / np.linalg.norm(A64))
+        orth = float(max(np.linalg.norm(Us.T @ Us - np.eye(k)),
+                         np.linalg.norm(Vh @ Vh.T - np.eye(k))))
+        serr = float(np.abs(ss - s_true).max() / s_true[0])
+        eps = 1.2e-7 if args.dtype != "f64" else 2.3e-16
+        rec |= {"residual": resid, "orthogonality": orth,
+                "sv_rel_err": serr,
+                "ok": resid < k * eps and orth < 4 * k * eps}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def cmd_rsvd(args):
     import numpy as np
     import jax.numpy as jnp
@@ -545,6 +583,11 @@ def main(argv=None):
     sp = sub.add_parser("eigh")
     sp.add_argument("m", type=int)
     sp.add_argument("--base-n", type=int, default=128)
+    sp = sub.add_parser("svd")
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--cond", type=float, default=100.0)
+    sp.add_argument("--eigh-impl", choices=("xla", "qdwh"), default="xla")
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
@@ -560,7 +603,8 @@ def main(argv=None):
             "caqr": cmd_caqr, "pivoted": cmd_pivoted,
             "batched": cmd_batched, "update": cmd_update,
             "decomp": cmd_decomp, "rsvd": cmd_rsvd,
-            "polar": cmd_polar, "eigh": cmd_eigh}[args.cmd](args)
+            "polar": cmd_polar, "eigh": cmd_eigh,
+            "svd": cmd_svd}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -99,10 +99,10 @@ def _qdwh_core(X, schedule, config: QRConfig, prec):
                  + ((a - bc) / sc) * _einsum("ik,jk->ij", Q1, _h(Q2),
                                              precision=prec)).astype(dt)
         else:
-            from ..ops.smalllinalg import cholesky_with_inv
+            from ..ops.smalllinalg import chol_with_inv_auto
             G = _einsum("ki,kj->ij", _h(X), X, precision=prec)
             Z = eye + jnp.asarray(c, dt) * G
-            _, Li = cholesky_with_inv(Z, precision=prec)
+            _, Li = chol_with_inv_auto(Z, precision=prec, config=config)
             # X Z^{-1} = (X L^{-H}) L^{-1}  with  Z = L L^H
             XL = _einsum("ik,jk->ij", X, _h(Li), precision=prec)
             X = (bc * X

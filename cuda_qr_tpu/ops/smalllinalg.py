@@ -145,6 +145,23 @@ def cholesky_with_inv(G: jnp.ndarray, precision: Precision = _H):
     return L, Li
 
 
+def chol_with_inv_auto(G: jnp.ndarray, precision: Precision = _H,
+                       config=None):
+    """cholesky_with_inv, routed through the fused Mosaic kernel when it
+    is eligible AND compiled (real TPU): one resident Pallas program
+    instead of ~0.33 ms of dependent XLA ops per 128x128, and ~0.7 MB less
+    optimized HLO per inlined call site.  Interpret mode (CPU tests) stays
+    on the jnp recursion -- interpreting the kernel is slower and bloats
+    the executable; kernel coverage on CPU lives in the panel path and the
+    kernel's own tests."""
+    if (config is not None and config.use_pallas and config.use_chol_kernel
+            and not config.resolved_interpret()):
+        from .pallas_chol import chol_with_inv_pallas, supported
+        if supported(G.shape, G.dtype):
+            return chol_with_inv_pallas(G, False)
+    return cholesky_with_inv(G, precision)
+
+
 def newton_inverse(M: jnp.ndarray, precision: Precision = _H,
                    tol: float | None = None, max_iters: int = 48):
     """Dense inverse of a well-conditioned square M by Newton-Schulz.

@@ -43,12 +43,30 @@ class BenchResult:
     steady_s: float          # per-call steady state, completion-forced
     reps: int
     flops: float | None = None
+    rtt_s: float = 0.0       # one forced-scalar roundtrip on a READY array
 
     @property
     def gflops(self) -> float | None:
         if self.flops is None:
             return None
         return self.flops / self.steady_s / 1e9
+
+    @property
+    def steady_net_s(self) -> float:
+        """steady_s minus the tunnel-RTT share baked into the timed loop.
+
+        The loop queues reps calls and forces ONE scalar at the end, so the
+        raw per-rep time carries rtt_s/reps of pure link latency -- on a
+        degraded axon day that is tens of ms (docs/PERF.md "tunnel-RTT
+        floor").  This is the device-time estimate; steady_s is the
+        conservative raw number."""
+        return max(0.0, self.steady_s - self.rtt_s / max(self.reps, 1))
+
+    @property
+    def net_gflops(self) -> float | None:
+        if self.flops is None or self.steady_net_s <= 0:
+            return None
+        return self.flops / self.steady_net_s / 1e9
 
 
 def bench(fn: Callable[..., Any], *args, reps: int = 3,
@@ -66,8 +84,15 @@ def bench(fn: Callable[..., Any], *args, reps: int = 3,
         out = fn(*args)
     force(out)  # queue is FIFO: forcing the last forces them all
     steady = (time.perf_counter() - t0) / reps
+
+    # RTT probe: re-force the SAME (already computed) result -- nothing to
+    # compute or wait on, so this times one forced-scalar host<->device
+    # roundtrip, i.e. the per-sync tunnel latency baked into the loop above.
+    t0 = time.perf_counter()
+    force(out)
+    rtt = time.perf_counter() - t0
     return BenchResult(compile_s=compile_s, steady_s=steady, reps=reps,
-                       flops=flops)
+                       flops=flops, rtt_s=rtt)
 
 
 def qr_flops(m: int, n: int) -> float:
