@@ -239,3 +239,17 @@ def test_svd_dist_errors(rng, mesh):
         ctq.svd_dist(np.zeros((16, 32), np.float32), mesh)  # wide
     with pytest.raises(ValueError):
         ctq.svd_dist(np.zeros((64, 8), np.float32), mesh, eigh_impl="nope")
+
+
+def test_svd_dist_complex(rng, mesh):
+    A = (rng.standard_normal((128, 16))
+         + 1j * rng.standard_normal((128, 16))).astype(np.complex64)
+    U, s, Vh = ctq.svd_dist(A, mesh, config=CFG)
+    U = np.asarray(U, np.complex128)
+    s = np.asarray(s, np.float64)
+    Vh = np.asarray(Vh, np.complex128)
+    A128 = A.astype(np.complex128)
+    assert np.linalg.norm((U * s) @ Vh - A128) / np.linalg.norm(A128) < 2e-5
+    assert np.linalg.norm(U.conj().T @ U - np.eye(16)) < 16 * 5e-6
+    s_ref = np.linalg.svd(A128, compute_uv=False)
+    assert np.abs(s - s_ref).max() < 2e-4 * s_ref[0]
