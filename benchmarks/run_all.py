@@ -363,8 +363,11 @@ def extras_mosaic():
     nsel = int((order >= 0).sum())
     return {"config": "x7: Mosaic kernels compiled (chol+inv 128, "
                       "pivot-select 128/512)",
-            "chol_us": round(rc.steady_s * 1e6, 1),
-            "select_us": round(rs.steady_s * 1e6, 1),
+            # net-of-RTT: at ~100 us of kernel time a reps=10 loop is
+            # otherwise pure tunnel-roundtrip (timing.py steady_net_s)
+            "chol_us": round(rc.steady_net_s * 1e6, 1),
+            "select_us": round(rs.steady_net_s * 1e6, 1),
+            "rtt_ms": round(rc.rtt_s * 1e3, 1),
             "chol_resid": float(f"{chol_err:.3e}"),
             "inv_resid": float(f"{inv_err:.3e}"),
             "pivots_selected": nsel,
