@@ -202,12 +202,13 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
     cmask_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_sub), 1)
     tdt = jnp.float32 if A.dtype == jnp.bfloat16 else A.dtype
 
-    def body(j, carry):
-        j = jnp.asarray(j, jnp.int32)  # fori index is int64 under x64
-        A, Ps, taus, Ts, VJs = carry
-        i0 = j * g
-        cols = jax.lax.dynamic_slice(A, (jnp.int32(0), i0 * nb),
-                                     (m_sub, g * nb))
+    def _members(cols, i0, Ps, taus, Ts, VJs):
+        """Left-looking member loop over one group's g panels.
+
+        cols: the group's (m_sub, g*nb) columns; i0: the group's first
+        panel index (traced or static).  Returns the stacked V/T for the
+        group merge plus the updated side arrays."""
+        i0 = jnp.asarray(i0, jnp.int32)  # static 0 is int64 under x64
 
         def member(l, mc):
             l = jnp.asarray(l, jnp.int32)
@@ -259,6 +260,39 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
         Vs = [Vstk[l] for l in range(g)]
         Tl = [Tstk[l] for l in range(g)]
         V, T = _merge_group(Vs, Tl, prec)
+        return V, T, Ps, taus, Ts, VJs
+
+    Ps0 = jnp.zeros((k, m_sub, nb), A.dtype)
+    taus0 = jnp.zeros((k, nb), tdt)
+    Ts0 = jnp.zeros((k, nb, nb), tdt)
+    VJs0 = jnp.zeros((k, nb, nb), tdt)
+
+    if k == g:
+        # One group in this stage (the common case: scan_stages sized so
+        # each stage holds exactly one lookahead group, e.g. 8192^2 s16).
+        # Offsets are STATIC, so the wide trailing update runs at its exact
+        # width -- no full-width mask, which at s16/8192^2 discards ~12% of
+        # the trailing GEMM volume (the group's own g*nb dead columns per
+        # stage, worst at late stages where they are the whole width).
+        V, T, Ps, taus, Ts, VJs = _members(
+            A[:, :g * nb], 0, Ps0, taus0, Ts0, VJs0)
+        rest = A[:, g * nb:]
+        if rest.shape[1]:
+            W = _einsum("ri,rj->ij", _h(V), rest, precision=prec)
+            W = _einsum("ij,ik->jk", _h(T), W, precision=prec)
+            rest = (rest - _einsum("ri,ij->rj", V, W,
+                                   precision=prec)).astype(A.dtype)
+        packed_cols = jnp.swapaxes(Ps, 0, 1).reshape(m_sub, k * nb)
+        return (PackedQR(packed=packed_cols, taus=taus, Ts=Ts, VJs=VJs),
+                rest)
+
+    def body(j, carry):
+        j = jnp.asarray(j, jnp.int32)  # fori index is int64 under x64
+        A, Ps, taus, Ts, VJs = carry
+        i0 = j * g
+        cols = jax.lax.dynamic_slice(A, (jnp.int32(0), i0 * nb),
+                                     (m_sub, g * nb))
+        V, T, Ps, taus, Ts, VJs = _members(cols, i0, Ps, taus, Ts, VJs)
         end = (i0 + g) * nb
         W = _einsum("ri,rj->ij", _h(V), A, precision=prec)      # V^H A
         W = _einsum("ij,ik->jk", _h(T), W, precision=prec)      # T^H (V^H A)
@@ -266,10 +300,6 @@ def _scan_panels(A: jnp.ndarray, k: int, config: QRConfig):
         A = A - jnp.where(cmask_iota >= end, U, 0).astype(A.dtype)
         return A, Ps, taus, Ts, VJs
 
-    Ps0 = jnp.zeros((k, m_sub, nb), A.dtype)
-    taus0 = jnp.zeros((k, nb), tdt)
-    Ts0 = jnp.zeros((k, nb, nb), tdt)
-    VJs0 = jnp.zeros((k, nb, nb), tdt)
     A, Ps, taus, Ts, VJs = jax.lax.fori_loop(
         0, k // g, body, (A, Ps0, taus0, Ts0, VJs0))
     packed_cols = jnp.swapaxes(Ps, 0, 1).reshape(m_sub, k * nb)
