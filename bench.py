@@ -211,6 +211,24 @@ def main():
         RECORD["geqrt_mosaic_ok"] = geqrt_ok
         emit()
 
+    # ---- Phase 5: MIXED trailing (bf16x3) factor -- the throughput mode.
+    # Panel math stays HIGHEST (orthogonality unchanged); only the trailing
+    # GEMMs run at HIGH.  Sweep data: docs/PERF.md "r3 sweep". ----
+    if on_tpu and time_left() >= 60:
+        mcfg = cfg.replace(trailing_precision=jax.lax.Precision.HIGH)
+        rm = bench(lambda a: qr_blocked(a, mcfg), A, reps=10,
+                   flops=qr_flops(m, n))
+        facm = qr_blocked(A, mcfg)
+        Qm, Rm = q_and_r(facm)
+        residm, orthm = (float(x) for x in residuals(A, Qm, Rm))
+        del facm, Qm, Rm
+        RECORD["mixed_ms"] = round(rm.steady_s * 1e3, 1)
+        RECORD["mixed_net_ms"] = round(rm.steady_net_s * 1e3, 1)
+        RECORD["mixed_gflops"] = round(rm.gflops, 1)
+        RECORD["mixed_residual"] = float(f"{residm:.3e}")
+        RECORD["mixed_ok"] = residm < n * eps
+        emit()
+
     ok = (verified_ok is not False) and (geqrt_ok is not False)
     return 0 if ok else 1
 
