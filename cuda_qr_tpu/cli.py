@@ -27,6 +27,9 @@ Commands:
   rsvd m n     -- randomized rank-k SVD benchmark on a decaying spectrum
                   (--sym: symmetric eigh_rand benchmark instead)
   polar m n    -- QDWH polar decomposition benchmark + verification
+  dist KIND m n [--devices D] -- distributed solver over a row mesh
+                  (KIND in {tsqr, lstsq, polar, svd, rsvd, eigh-rand});
+                  same virtual-mesh setup as caqr
 """
 
 from __future__ import annotations
@@ -406,6 +409,165 @@ def cmd_svd(args):
     return 0 if rec.get("ok", True) else 2
 
 
+def cmd_dist(args):
+    """Distributed-solver harness over a row mesh (`dist KIND m n`).
+
+    Runs the `_dist` variant of a solver on `--devices` row shards and
+    verifies it against the same float64 host checks the single-device
+    subcommands use.  On CPU pass --platform cpu with
+    XLA_FLAGS=--xla_force_host_platform_device_count=N for a virtual mesh
+    -- the same harness drives a real ICI mesh unchanged (the SPMD code is
+    mesh-shape-agnostic; SURVEY.md S2's jobfile analog).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from .parallel.mesh import row_mesh
+    from .utils.timing import bench
+
+    cfg = _config(args)
+    n_dev = args.devices or len(jax.devices())
+    if len(jax.devices()) < n_dev:
+        print(f"error: {n_dev} devices requested, "
+              f"{len(jax.devices())} available ({jax.default_backend()})",
+              file=sys.stderr)
+        return 2
+    if args.m % n_dev:
+        print(f"error: m={args.m} must divide the mesh ({n_dev} shards)",
+              file=sys.stderr)
+        return 2
+    # tsqr/polar/svd run a shard-local thin QR of an (m/P x n) block, so
+    # m/P >= n; the randomized kinds factor (m/P x rank+8) iterates
+    # instead, and lstsq's augmented CAQR only needs m % P == 0.
+    min_cols = {"tsqr": args.n, "polar": args.n, "svd": args.n,
+                "rsvd": args.rank + 8, "eigh-rand": args.rank + 8,
+                "lstsq": 0}[args.kind]
+    if args.m // n_dev < min_cols:
+        print(f"error: {args.kind} needs m/devices >= {min_cols}, got "
+              f"{args.m}/{n_dev} = {args.m // n_dev}", file=sys.stderr)
+        return 2
+    mesh = row_mesh(n_dev)
+    rng = np.random.default_rng(args.seed)
+    kind = args.kind
+    rec = {"cmd": f"{kind}_dist", "m": args.m, "n": args.n,
+           "devices": n_dev, "dtype": args.dtype}
+    eps = 1.2e-7 if args.dtype != "f64" else 2.3e-16
+    k = min(args.m, args.n)
+
+    if kind == "tsqr":
+        from .parallel.tsqr_dist import tsqr_dist
+        from .utils.verify import check_qr
+        A = rng.standard_normal((args.m, args.n))
+        Aj = jnp.asarray(A, cfg.dtype)
+        r = bench(lambda a: tsqr_dist(a, mesh, cfg,
+                                      strategy=args.strategy),
+                  Aj, reps=args.trials)
+        rec["strategy"] = args.strategy
+        if not args.no_verify:
+            Q, R = tsqr_dist(Aj, mesh, cfg, strategy=args.strategy)
+            chk = check_qr(A, np.asarray(Q), np.asarray(R))
+            rec |= {"residual": chk.residual,
+                    "orthogonality": chk.orthogonality, "ok": chk.ok}
+    elif kind == "lstsq":
+        from .models.lstsq import lstsq_dist
+        A = rng.standard_normal((args.m, args.n))
+        b = rng.standard_normal((args.m,))
+        Aj, bj = jnp.asarray(A, cfg.dtype), jnp.asarray(b, cfg.dtype)
+        r = bench(lambda a: lstsq_dist(a, bj, mesh, cfg).x, Aj,
+                  reps=args.trials)
+        if not args.no_verify:
+            x = np.asarray(lstsq_dist(Aj, bj, mesh, cfg).x, np.float64)
+            x_ref = np.linalg.lstsq(A, b, rcond=None)[0]
+            err = float(np.linalg.norm(x - x_ref)
+                        / max(np.linalg.norm(x_ref), 1e-30))
+            # cond(A)~sqrt(m/n) here; forward error amplifies eps by cond
+            rec |= {"x_rel_err": err, "ok": err < 100 * args.n * eps}
+    elif kind in ("polar", "svd"):
+        from .models.polar import polar_dist, svd_dist
+        U = np.linalg.qr(rng.standard_normal((args.m, k)))[0]
+        V = np.linalg.qr(rng.standard_normal((args.n, k)))[0]
+        s_true = np.geomspace(1.0, 1.0 / max(args.cond, 1.0), k)
+        A64 = (U * s_true) @ V.T
+        Aj = jnp.asarray(A64, cfg.dtype)
+        rec["cond"] = args.cond
+        if kind == "polar":
+            r = bench(lambda a: polar_dist(a, mesh, config=cfg)[0], Aj,
+                      reps=args.trials)
+            if not args.no_verify:
+                Up, Hp = polar_dist(Aj, mesh, config=cfg)
+                Up = np.asarray(Up, np.float64)
+                Hp = np.asarray(Hp, np.float64)
+                orth = float(np.linalg.norm(Up.T @ Up - np.eye(k)))
+                resid = float(np.linalg.norm(Up @ Hp - A64)
+                              / np.linalg.norm(A64))
+                rec |= {"residual": resid, "orthogonality": orth,
+                        "ok": resid < k * eps and orth < k * eps}
+        else:
+            r = bench(lambda a: svd_dist(a, mesh, config=cfg)[0], Aj,
+                      reps=args.trials)
+            if not args.no_verify:
+                Us, ss, Vh = svd_dist(Aj, mesh, config=cfg)
+                Us = np.asarray(Us, np.float64)
+                ss = np.asarray(ss, np.float64)
+                Vh = np.asarray(Vh, np.float64)
+                resid = float(np.linalg.norm((Us * ss) @ Vh - A64)
+                              / np.linalg.norm(A64))
+                orth = float(max(np.linalg.norm(Us.T @ Us - np.eye(k)),
+                                 np.linalg.norm(Vh @ Vh.T - np.eye(k))))
+                rec |= {"residual": resid, "orthogonality": orth,
+                        "sv_rel_err": float(np.abs(ss - s_true).max()
+                                            / s_true[0]),
+                        "ok": resid < k * eps and orth < 4 * k * eps}
+    elif kind == "rsvd":
+        from .models.rsvd import rsvd_dist
+        r_full = min(args.m, args.n, 4 * args.rank)
+        U = np.linalg.qr(rng.standard_normal((args.m, r_full)))[0]
+        V = np.linalg.qr(rng.standard_normal((args.n, r_full)))[0]
+        s = args.decay ** np.arange(r_full)
+        A64 = (U * s) @ V.T
+        Aj = jnp.asarray(A64, cfg.dtype)
+        rec["rank"] = args.rank
+        r = bench(lambda a: rsvd_dist(a, args.rank, mesh,
+                                      n_iter=args.iters, config=cfg)[0],
+                  Aj, reps=args.trials)
+        if not args.no_verify:
+            Uk, sk, Vtk = rsvd_dist(Aj, args.rank, mesh,
+                                    n_iter=args.iters, config=cfg)
+            err = np.linalg.norm(
+                (np.asarray(Uk, np.float64) * np.asarray(sk, np.float64))
+                @ np.asarray(Vtk, np.float64) - A64, 2)
+            tail = s[args.rank] if args.rank < r_full else 0.0
+            rec |= {"err2": float(err), "s_next": float(tail),
+                    "ok": bool(err < 3 * tail + max(args.m, args.n) * 1e-6)}
+    else:  # eigh-rand
+        from .models.rsvd import eigh_rand_dist
+        m = args.m
+        r_full = min(m, 4 * args.rank)
+        V = np.linalg.qr(rng.standard_normal((m, r_full)))[0]
+        w = (args.decay ** np.arange(r_full)
+             * np.where(np.arange(r_full) % 2, -1.0, 1.0))
+        A64 = (V * w) @ V.T
+        Aj = jnp.asarray(A64, cfg.dtype)
+        rec["rank"] = args.rank
+        r = bench(lambda a: eigh_rand_dist(a, args.rank, mesh,
+                                           n_iter=args.iters, config=cfg)[1],
+                  Aj, reps=args.trials)
+        if not args.no_verify:
+            wk, Vk = eigh_rand_dist(Aj, args.rank, mesh,
+                                    n_iter=args.iters, config=cfg)
+            wk = np.asarray(wk, np.float64)
+            Vk = np.asarray(Vk, np.float64)
+            err = np.linalg.norm((Vk * wk) @ Vk.T - A64, 2)
+            tail = abs(w[args.rank]) if args.rank < r_full else 0.0
+            rec |= {"err2": float(err), "w_next": float(tail),
+                    "ok": bool(err < 3 * tail + m * 1e-6)}
+
+    rec |= {"steady_ms": round(r.steady_s * 1e3, 2),
+            "compile_s": round(r.compile_s, 1)}
+    _emit(rec)
+    return 0 if rec.get("ok", True) else 2
+
+
 def cmd_rsvd(args):
     import numpy as np
     import jax.numpy as jnp
@@ -588,6 +750,19 @@ def main(argv=None):
     sp.add_argument("n", type=int)
     sp.add_argument("--cond", type=float, default=100.0)
     sp.add_argument("--eigh-impl", choices=("xla", "qdwh"), default="xla")
+    sp = sub.add_parser("dist")
+    sp.add_argument("kind", choices=["tsqr", "lstsq", "polar", "svd",
+                                     "rsvd", "eigh-rand"])
+    sp.add_argument("m", type=int)
+    sp.add_argument("n", type=int)
+    sp.add_argument("--devices", type=int, default=None)
+    sp.add_argument("--strategy",
+                    choices=["allgather", "butterfly", "cholesky"],
+                    default="allgather", help="tsqr combine strategy")
+    sp.add_argument("--cond", type=float, default=100.0)
+    sp.add_argument("--rank", type=int, default=16)
+    sp.add_argument("--iters", type=int, default=2)
+    sp.add_argument("--decay", type=float, default=0.8)
     args = p.parse_args(argv)
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
@@ -604,7 +779,7 @@ def main(argv=None):
             "batched": cmd_batched, "update": cmd_update,
             "decomp": cmd_decomp, "rsvd": cmd_rsvd,
             "polar": cmd_polar, "eigh": cmd_eigh,
-            "svd": cmd_svd}[args.cmd](args)
+            "svd": cmd_svd, "dist": cmd_dist}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,39 @@ def test_cli_rsvd_sym():
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["cmd"] == "eigh_rand"
     assert rec["ok"] and rec["err2"] < 3 * rec["w_next"] + 1e-4
+
+
+def run_cli_mesh(*args):
+    """CLI on the 8-device virtual CPU mesh (the `dist` harness path)."""
+    return subprocess.run(
+        [sys.executable, "-m", "cuda_qr_tpu", "--no-pallas", "--trials", "1",
+         "--platform", "cpu", *args],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu", "HOME": "/root",
+             "PYTHONPATH": "/root/repo",
+             "XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+
+
+def test_cli_dist_tsqr():
+    out = run_cli_mesh("dist", "tsqr", "512", "32", "--devices", "8",
+                       "--strategy", "butterfly")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["devices"] == 8, rec
+    assert rec["strategy"] == "butterfly"
+
+
+def test_cli_dist_lstsq():
+    out = run_cli_mesh("dist", "lstsq", "256", "48", "--devices", "8")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["x_rel_err"] < 1e-4, rec
+
+
+def test_cli_dist_svd():
+    out = run_cli_mesh("dist", "svd", "512", "32", "--devices", "8")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["sv_rel_err"] < 32 * 1.2e-7, rec
+
+
+def test_cli_dist_rejects_short_shards():
+    out = run_cli_mesh("dist", "tsqr", "256", "64", "--devices", "8")
+    assert out.returncode == 2 and "m/devices" in out.stderr
