@@ -246,6 +246,19 @@ if __name__ == "__main__":
     import threading
 
     def _die():
+        if not RECORD:
+            # Nothing was measured: the axon tunnel swallowed the first
+            # remote compile (observed hung >35 min with <1 min of process
+            # CPU time; it can stay down for hours).  Emit an honest
+            # zero-value record so the harness parses a diagnosis instead
+            # of recording nothing (round 2's rc=124 failure mode).
+            print(json.dumps({
+                "metric": "qr_gflops_8192x8192_fp32", "value": 0.0,
+                "unit": "GFLOP/s", "vs_baseline": 0.0,
+                "error": "axon tunnel unavailable: first remote compile "
+                         "never returned within the watchdog window",
+            }))
+            sys.stdout.flush()
         print("# bench watchdog fired (tunnel hang)", file=sys.stderr)
         sys.stderr.flush()
         os._exit(3)
