@@ -106,6 +106,15 @@ def main():
         RECORD.pop("note")
 
     # ---- Phase 1: factor-only headline.  Emitted the moment it exists. ----
+    # Guard: the 8192^2 compile costs ~270 s on a healthy tunnel; if the
+    # insurance rung already ate most of the budget (measured 2026-08-20: a
+    # degraded tunnel took 1472 s to compile the 1024^2 program), exit
+    # CLEANLY with the insurance record instead of being watchdog-killed
+    # mid-compile.
+    if on_tpu and time_left() < 300:
+        RECORD["skipped_after"] = "insurance"
+        emit()
+        return 0
     r = bench(lambda a: qr_blocked(a, cfg), A, reps=10 if on_tpu else 3,
               flops=qr_flops(m, n))
     RECORD.update({
