@@ -186,8 +186,48 @@ def _bucket(n: int, bucket: int) -> int:
     return -(-n // bucket) * bucket
 
 
+def _signf(X, config: QRConfig, ibucket: int, scale: float):
+    """Matrix sign function of Hermitian X: the QDWH polar factor, computed
+    at a size bucketed up to a multiple of ``ibucket``.
+
+    Padding is exact block-diagonal: polar(blockdiag(X, c I)) ==
+    blockdiag(polar(X), I) with c > 0, and every QDWH operation (GEMM,
+    Cholesky, triangular solve, Householder panels) propagates the zero
+    off-blocks to O(eps) -- the same order as the iteration's own backward
+    error, which the caller's split-quality certificate already absorbs.
+    Bucketing collapses the D&C recursion's interior sizes onto a few
+    compiled QDWH pipelines instead of one per exact size (the dominant
+    compile cost: each pipeline is ~6 stacked QRs + Cholesky steps).
+    Unlike sentinel-padding the RECURSION (which never terminates -- see
+    the note in _eigh_rec), the pad block here is sliced off immediately:
+    children always see exact sizes.
+    """
+    from .polar import _prep, _qdwh_jit, _qdwh_schedule
+
+    n = X.shape[0]
+    npad = _bucket(n, ibucket) if ibucket else n
+    if npad != n:
+        Xp = jnp.zeros((npad, npad), X.dtype)
+        Xp = Xp.at[:n, :n].set(X)
+        idx = jnp.arange(n, npad)
+        # sentinel at the spectrum scale: keeps cond(X_pad) == cond(X) and
+        # its sign is +1, so the pad block of U is exactly +I
+        Xp = Xp.at[idx, idx].set(jnp.asarray(scale, X.dtype))
+        X = Xp
+    dt = X.dtype
+    if not jnp.iscomplexobj(X) and config.dtype != dt:
+        config = config.replace(dtype=dt)
+    eps = float(jnp.finfo(jnp.float64 if dt == jnp.float64 else
+                          jnp.float32).eps)
+    schedule = tuple(_qdwh_schedule(
+        (eps / 10.0) / (npad * npad) ** 0.25, eps))
+    U = _qdwh_jit(_prep(X), schedule, config)
+    return U[:n, :n] if npad != n else U
+
+
 def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
-         bucket: int | None = None, max_sweeps: int = 30):
+         bucket: int | None = None, max_sweeps: int = 30,
+         interior_bucket: int = 256):
     """Full Hermitian eigendecomposition A = V diag(w) V^H, w ascending.
 
     jnp.linalg.eigh drop-in built from this library's own kernels (QDWH
@@ -198,6 +238,10 @@ def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
     base_n: largest block solved directly by the Jacobi base case.
     bucket: base-case blocks are padded up to multiples of this (default
       min(base_n, 64)), bounding the set of compiled Jacobi shapes.
+    interior_bucket: interior QDWH sign-function calls run at sizes padded
+      up to multiples of this (exact block-diagonal padding, _signf),
+      bounding the set of compiled QDWH pipelines -- the dominant
+      first-call cost of the recursion.  0 = exact sizes.
     """
     A = to_device(A)
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
@@ -209,7 +253,7 @@ def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
     if not jnp.iscomplexobj(A) and config.dtype != dt:
         config = config.replace(dtype=dt)
     A = ((A + _h(A).T) * 0.5).astype(dt)
-    w, V = _eigh_rec(A, config, base_n, bucket, max_sweeps)
+    w, V = _eigh_rec(A, config, base_n, bucket, max_sweeps, interior_bucket)
     return w, V
 
 
@@ -259,7 +303,7 @@ def _eigh_base(A, bucket: int, max_sweeps: int, lo: float, hi: float):
 
 
 def _eigh_rec(A, config: QRConfig, base_n: int, bucket: int,
-              max_sweeps: int):
+              max_sweeps: int, ibucket: int = 0):
     n = A.shape[0]
     lo_j, hi_j, diag_j = _gershgorin(A)
     lo, hi = float(lo_j), float(hi_j)
@@ -288,13 +332,12 @@ def _eigh_rec(A, config: QRConfig, base_n: int, bucket: int,
     # spectra.  Each is nudged off exact diagonal ties.
     candidates = [float(np.median(diag)), lo + 0.5 * width,
                   lo + 0.25 * width, lo + 0.75 * width]
-    from .polar import polar
 
     best = None
     for sigma in candidates:
         sigma = min(max(sigma, lo + 1e-3 * width), hi - 1e-3 * width)
-        U, _ = polar(A - jnp.asarray(sigma, A.dtype) * jnp.eye(n, dtype=A.dtype),
-                     side="right", config=config)
+        U = _signf(A - jnp.asarray(sigma, A.dtype) * jnp.eye(n, dtype=A.dtype),
+                   config, ibucket, scale)
         k = int(round((n + float(jax.device_get(jnp.trace(U).real))) / 2.0))
         if 0 < k < n:
             best = (sigma, U, k)
@@ -320,8 +363,10 @@ def _eigh_rec(A, config: QRConfig, base_n: int, bucket: int,
 
     A1 = ((Ap[:k, :k] + _h(Ap[:k, :k]).T) * 0.5).astype(A.dtype)
     A2 = ((Ap[k:, k:] + _h(Ap[k:, k:]).T) * 0.5).astype(A.dtype)
-    w1, W1 = _eigh_rec(A1, config, base_n, bucket, max_sweeps)  # >= sigma
-    w2, W2 = _eigh_rec(A2, config, base_n, bucket, max_sweeps)  # <  sigma
+    w1, W1 = _eigh_rec(A1, config, base_n, bucket, max_sweeps,
+                       ibucket)  # >= sigma
+    w2, W2 = _eigh_rec(A2, config, base_n, bucket, max_sweeps,
+                       ibucket)  # <  sigma
     Vlo = _einsum("ik,kj->ij", V[:, k:], W2, precision=config.precision)
     Vhi = _einsum("ik,kj->ij", V[:, :k], W1, precision=config.precision)
     w = jnp.concatenate([w2, w1])
