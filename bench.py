@@ -63,10 +63,12 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:  # CPU fallback keeps the bench runnable anywhere
         m = n = 512
-    # 16 stages at 8192^2 (k=64 panels): every stage holds kg=4 panels, so
-    # the lookahead group width g=4 is exact and the masked-update waste is
-    # minimal -- measured 75.8 ms vs 80.0 ms at 8 stages (docs/PERF.md).
-    cfg = QRConfig(dtype=jnp.float32, scan_stages=16 if on_tpu else 8)
+    # 8 stages x lookahead 8 at 8192^2 (k=64 panels): each stage holds one
+    # g=8 lookahead group, so the full-width masked update runs once per 8
+    # panels with K=1024-deep GEMMs -- measured 49.2 ms vs 55.3 ms for the
+    # old (s16, g=4) headline, same-day head-to-head (docs/PERF.md r3).
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=8,
+                   factor_lookahead=8 if on_tpu else 4)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     eps = float(jnp.finfo(jnp.float32).eps)
