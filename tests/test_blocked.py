@@ -223,3 +223,22 @@ def test_qr_raw_mode_lapack_parity(rng):
     Qr = out[0]
     assert np.linalg.norm(Qr[:, :n] @ R - A) / np.linalg.norm(A) < 1e-13
     assert np.linalg.norm(Qr[:, :n].T @ Qr[:, :n] - np.eye(n)) < 1e-12
+
+
+@pytest.mark.parametrize("stages,g", [(2, 8), (4, 4), (8, 2), (2, 4)])
+def test_lookahead_group_widths(rng, stages, g):
+    """Every (scan_stages, factor_lookahead) combination must factor
+    identically well -- including kg == g (one group per stage), which takes
+    the static exact-width trailing-update path, and kg > g, which takes the
+    masked full-width path.  16 panels of width 16 at 256x256."""
+    m = n = 256
+    cfg = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False,
+                   scan_stages=stages, factor_lookahead=g)
+    A = rng.standard_normal((m, n))
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < n * chk.eps, (stages, g, chk)
+    assert chk.orthogonality < 4 * n * chk.eps, (stages, g, chk)
+    assert chk.r_triangular == 0.0
