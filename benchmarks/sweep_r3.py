@@ -18,11 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CANDIDATES = {
     # key: (n, panel_width, scan_stages, factor_lookahead)
-    "s16_g4_nb128": (8192, 128, 16, 4),    # current default
-    "s8_g8_nb128": (8192, 128, 8, 8),      # deeper merged updates, less code
+    "s16_g4_nb128": (8192, 128, 16, 4),    # r2 default
+    "s8_g8_nb128": (8192, 128, 8, 8),      # r3-tail headline (kg==g exact)
     "s8_g4_nb256": (8192, 256, 8, 4),      # wide panels, r3-driver re-try
     "s32_g2_nb128": (8192, 128, 32, 2),    # tighter slicing, shallow merge
     "s16_g4_nb128_hi": (8192, 128, 16, 4),  # trailing at HIGH (bf16x3)
+    # r4 candidates (VERDICT r3 item 1): one more lookahead doubling --
+    # kg == g == 16 keeps the exact-width static trailing slice while
+    # quartering the full-width update count vs g=4 and deepening the
+    # merged reflector to K=2048.  The merge tree's own O(g^2 nb^2 m)
+    # GEMM cost grows linearly in g; s2_g32 probes where that crosses.
+    "s4_g16_nb128": (8192, 128, 4, 16),
+    "s2_g32_nb128": (8192, 128, 2, 32),
+    "s4_g16_nb128_hi": (8192, 128, 4, 16),  # MIXED form of the candidate
 }
 
 

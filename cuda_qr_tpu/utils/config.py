@@ -145,14 +145,20 @@ class QRConfig:
 
 DEFAULT_CONFIG = QRConfig()
 
-# Mixed-precision preset (ROADMAP r2 item 4): the two GEMM-dominated phases
-# (trailing update, orgqr/ormqr sweeps) run at HIGH -- 3-pass bf16 MXU
-# emulation, ~2x the HIGHEST matmul throughput -- while panel factorization
-# stays at HIGHEST, which bounds V/T quality and hence Q's orthogonality.
-# Use for throughput-critical factorizations where some residual headroom
-# under the n*eps acceptance bound is acceptable; measured numbers live in
-# docs/PERF.md.
+# Mixed-precision preset (ROADMAP r2 item 4): the trailing-update GEMMs run
+# at HIGH -- 3-pass bf16 MXU emulation, ~2x the HIGHEST matmul throughput --
+# while panel factorization stays at HIGHEST, which bounds V/T quality and
+# hence Q's orthogonality.  Use for throughput-critical factorizations where
+# some residual headroom under the n*eps acceptance bound is acceptable;
+# measured numbers live in docs/PERF.md.
+#
+# orgqr stays at HIGHEST on purpose: dropping the Q-formation sweeps to HIGH
+# was measured at 4096^2 to push ||Q^T Q - I|| to 7.8e-03 -- ~4x OVER the
+# n*eps*4 bound utils/verify.py enforces (RESULTS x6, r3) -- because every
+# panel application then adds a bf16-rounded term directly into Q.  The
+# trailing update has no such accumulation into Q (it only perturbs R and
+# later panels' inputs, which CholeskyQR2 re-orthogonalizes), so HIGH is
+# safe there.  MIXED is a factor-throughput mode, not a Q-throughput mode.
 MIXED_CONFIG = QRConfig(
     trailing_precision=jax.lax.Precision.HIGH,
-    orgqr_precision=jax.lax.Precision.HIGH,
 )
