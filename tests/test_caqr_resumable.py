@@ -38,7 +38,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
 def test_resumable_matches_monolithic(rng, mesh):
     m, n = 128, 64
     A, Ad = _sharded(rng, mesh, m, n)
-    fac_r, R_r = caqr_factor_resumable(Ad, mesh, CFG)
+    fac_r, R_r = caqr_factor_resumable(Ad, mesh, CFG, combine="allgather")
     fac_m, R_m = caqr_factor(Ad, mesh, CFG, combine="allgather")
     np.testing.assert_allclose(np.asarray(R_r), np.asarray(R_m), atol=1e-11)
     Q = caqr_orgqr(fac_r, mesh, n, CFG)
@@ -46,16 +46,34 @@ def test_resumable_matches_monolithic(rng, mesh):
     assert chk.residual < 4 * 64 * chk.eps, chk
 
 
-def test_crash_and_resume(tmp_path, rng, mesh):
+def test_resumable_bk_matches_monolithic(rng, mesh):
+    """combine='bk' (the default and the pod-scale combine) now checkpoints
+    too: every CAQRFactorsBK leaf must match the monolithic path to fp
+    tolerance (VERDICT r3 item 6)."""
+    m, n = 128, 64
+    A, Ad = _sharded(rng, mesh, m, n)
+    fac_r, R_r = caqr_factor_resumable(Ad, mesh, CFG)  # bk is the default
+    fac_m, R_m = caqr_factor(Ad, mesh, CFG, combine="bk")
+    np.testing.assert_allclose(np.asarray(R_r), np.asarray(R_m), atol=1e-11)
+    for name, a, b in zip(fac_m._fields, fac_r, fac_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11,
+                                   err_msg=name)
+    Q = caqr_orgqr(fac_r, mesh, n, CFG)
+    chk = check_qr(A, np.asarray(Q)[:, :n], np.asarray(R_r)[:n, :n])
+    assert chk.residual < 4 * 64 * chk.eps, chk
+    assert chk.orthogonality < 4 * 64 * chk.eps * 4, chk
+
+
+def _crash_then_resume(tmp_path, rng, mesh, combine, step_name):
     """Interrupt after a few panels; a fresh call resumes and finishes with
-    the same R as an uninterrupted run."""
+    the same factors as an uninterrupted monolithic run."""
     m, n = 128, 64
     ck = str(tmp_path / "caqr_ck")
     A, Ad = _sharded(rng, mesh, m, n)
 
     calls = {"n": 0}
     import cuda_qr_tpu.parallel.caqr_resumable as cr
-    orig = cr._panel_step
+    orig = getattr(cr, step_name)
 
     def crashing(*a, **kw):
         if calls["n"] == 5:
@@ -63,23 +81,37 @@ def test_crash_and_resume(tmp_path, rng, mesh):
         calls["n"] += 1
         return orig(*a, **kw)
 
-    cr._panel_step = crashing
+    setattr(cr, step_name, crashing)
     try:
         with pytest.raises(KeyboardInterrupt):
-            caqr_factor_resumable(Ad, mesh, CFG, checkpoint_path=ck, every=2)
+            caqr_factor_resumable(Ad, mesh, CFG, checkpoint_path=ck, every=2,
+                                  combine=combine)
     finally:
-        cr._panel_step = orig
+        setattr(cr, step_name, orig)
 
     import os
     _, meta = load_state(os.path.join(ck, "state.npz"))
     assert 0 < meta["next_panel"] < n // 8  # partial progress persisted
+    assert meta["combine"] == combine
     # snapshots are incremental: one small file per finished panel
     panels = [f for f in os.listdir(ck) if f.startswith("panel_")]
     assert len(panels) == calls["n"]
 
-    fac, R = caqr_factor_resumable(Ad, mesh, CFG, checkpoint_path=ck, every=2)
-    _, R_ref = caqr_factor(Ad, mesh, CFG, combine="allgather")
+    fac, R = caqr_factor_resumable(Ad, mesh, CFG, checkpoint_path=ck, every=2,
+                                   combine=combine)
+    fac_ref, R_ref = caqr_factor(Ad, mesh, CFG, combine=combine)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=1e-11)
+    for name, a, b in zip(fac_ref._fields, fac, fac_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11,
+                                   err_msg=name)
+
+
+def test_crash_and_resume(tmp_path, rng, mesh):
+    _crash_then_resume(tmp_path, rng, mesh, "allgather", "_panel_step")
+
+
+def test_crash_and_resume_bk(tmp_path, rng, mesh):
+    _crash_then_resume(tmp_path, rng, mesh, "bk", "_panel_step_bk")
 
 
 def test_resume_rejects_mismatched_problem(tmp_path, rng, mesh):
