@@ -63,12 +63,14 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:  # CPU fallback keeps the bench runnable anywhere
         m = n = 512
-    # 8 stages x lookahead 8 at 8192^2 (k=64 panels): each stage holds one
-    # g=8 lookahead group, so the full-width masked update runs once per 8
-    # panels with K=1024-deep GEMMs -- measured 49.2 ms vs 55.3 ms for the
-    # old (s16, g=4) headline, same-day head-to-head (docs/PERF.md r3).
-    cfg = QRConfig(dtype=jnp.float32, scan_stages=8,
-                   factor_lookahead=8 if on_tpu else 4)
+    # 32 stages x lookahead 4 at 8192^2 (k=64 panels): each stage holds 2
+    # panels, so every trailing update runs at its EXACT stage width (the
+    # kg==g path) and the masked-width waste of coarse stages vanishes.
+    # Same-day reps=30 sweep (benchmarks/sweep_r4.py, docs/PERF.md r4):
+    # s32_g4 38.6 ms > s16_g4 39.6 > s16_g8 39.4 > s8_g8 41.9 -- the r3
+    # reps=10 flip to s8_g8 did not replicate at reps=30.
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=32 if on_tpu else 8,
+                   factor_lookahead=4)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     eps = float(jnp.finfo(jnp.float32).eps)
