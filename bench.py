@@ -247,6 +247,61 @@ def main():
         RECORD["mixed_ok"] = (residm < n * eps) and (orthm < n * eps * 4)
         emit()
 
+    # ---- Phase 6: true bf16 END-TO-END factor (dtype=bfloat16 storage +
+    # trailing; panels upcast internally) + one fp32 CholeskyQR refinement
+    # of Q.  Published with BOTH metrics: refinement recovers fp32-grade
+    # orthogonality, the residual stays at bf16 backward-error scale (a
+    # basis factory, not a solver -- docs/PERF.md "bf16 end-to-end").
+    # Run at 4096^2 to bound the extra compile. ----
+    if on_tpu and time_left() >= 300:
+        from cuda_qr_tpu.ops.smalllinalg import cholesky_with_inv
+        nb16 = 4096
+        bcfg = QRConfig(dtype=jnp.bfloat16, scan_stages=8)
+        A32 = jnp.asarray(rng.standard_normal((nb16, nb16))
+                          .astype(np.float32))
+        Ab = A32.astype(jnp.bfloat16)
+        rb = bench(lambda a: qr_blocked(a, bcfg), Ab, reps=10,
+                   flops=qr_flops(nb16, nb16))
+        H = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def bf16_metrics(Ab, A32):
+            fac = qr_blocked(Ab, bcfg)
+            Qb = orgqr(fac, nb16, nb16, bcfg).astype(jnp.float32)
+            Rb = extract_r(fac, nb16).astype(jnp.float32)
+            G = jnp.einsum("ij,ik->jk", Qb, Qb, precision=H)
+            _, Li = cholesky_with_inv(G, precision=H)
+            Qr = jnp.einsum("ij,kj->ik", Qb, Li, precision=H)
+            Rr = jnp.triu(jnp.einsum("ij,ik->jk", Qr, A32, precision=H))
+            nrm = jnp.linalg.norm(A32)
+            eye = jnp.eye(nb16, dtype=jnp.float32)
+            raw_res = jnp.linalg.norm(
+                jnp.einsum("ij,jk->ik", Qb, Rb, precision=H) - A32) / nrm
+            raw_orth = jnp.linalg.norm(
+                jnp.einsum("ij,ik->jk", Qb, Qb, precision=H) - eye)
+            ref_res = jnp.linalg.norm(
+                jnp.einsum("ij,jk->ik", Qr, Rr, precision=H) - A32) / nrm
+            ref_orth = jnp.linalg.norm(
+                jnp.einsum("ij,ik->jk", Qr, Qr, precision=H) - eye)
+            return raw_res, raw_orth, ref_res, ref_orth
+
+        raw_res, raw_orth, ref_res, ref_orth = (
+            float(x) for x in bf16_metrics(Ab, A32))
+        del A32, Ab
+        RECORD["bf16_e2e_ms"] = round(rb.steady_s * 1e3, 1)
+        RECORD["bf16_e2e_net_ms"] = round(rb.steady_net_s * 1e3, 1)
+        RECORD["bf16_e2e_gflops"] = round(rb.gflops, 1)
+        RECORD["bf16_e2e_size"] = nb16
+        RECORD["bf16_raw_residual"] = float(f"{raw_res:.3e}")
+        RECORD["bf16_raw_orthogonality"] = float(f"{raw_orth:.3e}")
+        RECORD["bf16_refined_residual"] = float(f"{ref_res:.3e}")
+        RECORD["bf16_refined_orthogonality"] = float(f"{ref_orth:.3e}")
+        # contract: fp32-grade orthogonality after refinement; residual
+        # bounded by the bf16 backward error (cannot be refined away)
+        RECORD["bf16_ok"] = bool(ref_orth < nb16 * eps * 4
+                                 and ref_res < 8 * 2.0 ** -8)
+        emit()
+
     ok = (verified_ok is not False) and (geqrt_ok is not False)
     return 0 if ok else 1
 

@@ -56,7 +56,7 @@ def main():
             impls["cuda_qr_tpu.eigh"] = lambda a: own_eigh(a)
 
         for name, fn in impls.items():
-            r = bench(fn, Sd, reps=3)
+            r = bench(fn, Sd, reps=10 if on_tpu else 3)
             w, V = fn(Sd)
             wd = np.asarray(w, dtype=np.float64)
             Vd = np.asarray(V, dtype=np.float64)
@@ -68,6 +68,8 @@ def main():
                 "op": name, "n": n,
                 "backend": jax.default_backend(),
                 "steady_ms": round(r.steady_s * 1e3, 1),
+                "steady_net_ms": round(r.steady_net_s * 1e3, 1),
+                "rtt_ms": round(r.rtt_s * 1e3, 1),
                 "compile_s": round(r.compile_s, 1),
                 "eigval_rel_err": float(f"{werr:.3e}"),
                 "residual": float(f"{resid:.3e}"),

@@ -8,33 +8,37 @@ library previously delegated wholesale to XLA (``jnp.linalg.eigh`` inside
 svd/eigh_rand); the reference has no eigensolver at all (its only spectral
 artifact is the residual check, qr.cu:822-850).
 
-Algorithm per recursion level (A Hermitian, n x n):
+Algorithm per divide step (A Hermitian, n x n):
   1. sigma <- median of diag(A) (a cheap split-point estimate; retried with
      Gershgorin-interval points if the split degenerates).
   2. U = polar factor of A - sigma I  == the matrix sign function: U is
      Hermitian orthogonal with U v = +/- v on the eigenvectors of A above /
-     below sigma.  All QDWH work is stacked QR + GEMMs (MXU-shaped).
-  3. P = (I + U)/2 is the orthogonal projector onto the >= sigma invariant
-     subspace; k = round((n + trace U)/2) is its dimension.
-  4. One rank-revealing QRCP of P gives an orthogonal V whose first k
-     columns span range(P); A' = V^H A V is block-diagonal to working
-     precision (the off-diagonal block norm is checked, and a bad split --
-     sigma on top of an eigenvalue cluster -- triggers a retry with a
-     shifted sigma).
-  5. Recurse on the k x k and (n-k) x (n-k) diagonal blocks; the
-     eigenvector back-transform is one GEMM per block.
+     below sigma.  All QDWH work is stacked QR + GEMMs (MXU-shaped), with
+     the dynamic-weight iteration of models/polar.py (_qdwh_dyn_core).
+  3. P = (I - U)/2 is the orthogonal projector onto the < sigma invariant
+     subspace; k = round(trace P) is its dimension.
+  4. Subspace iteration (one complete blocked-Householder QR of P's top-k
+     columns, iterated only if the certificate ||V2^H A V1|| demands it)
+     gives orthonormal bases of range(P) and its complement; A restricted
+     to each basis is the pair of child blocks.
+  5. Recurse on the k x k and (n-k) x (n-k) blocks; the eigenvector
+     back-transform is one GEMM per block.
 
 TPU-first structural choices:
-  * Host-driven recursion, jitted stages: split sizes k are data-dependent,
-    so the recursion cannot live under one jit with static shapes.
-    Interior nodes run at their exact size (sentinel-padding them does not
-    terminate -- see the note in _eigh_rec); the base case pads to a
-    multiple of ``bucket``, where the pad block is exactly decoupled.
-  * Base case (n <= base_n) is cyclic Jacobi with the round-robin parallel
-    ordering: each round diagonalizes n/2 DISJOINT 2x2 Hermitian blocks in
-    closed form and applies them as ONE n x n rotation GEMM pair -- no
-    per-rotation sequential chain (the TPU anti-pattern), just
-    (sweeps)x(n-1) GEMM rounds under lax.while_loop/fori_loop.
+  * The ENTIRE recursion runs on device as one jitted program
+    (`_eigh_onchip`): an explicit agenda stack of (offset, size)
+    subproblems processed under lax.while_loop, with lax.switch over a
+    small set of bucketed static block sizes and iota-masking for the
+    data-dependent split sizes -- the shape discipline of XLA's own TPU
+    QDWH-eig lowering (jax._src.tpu.linalg.eigh, studied as prior art),
+    rebuilt on this library's own primitives.  Zero host round-trips and
+    a bounded compile set (one program per input size).
+  * Base case (blocks <= base_n) is cyclic Jacobi with the round-robin
+    parallel ordering: each round diagonalizes n/2 DISJOINT 2x2 Hermitian
+    blocks in closed form and applies them as ONE n x n rotation GEMM
+    pair -- no per-rotation sequential chain (the TPU anti-pattern), just
+    (sweeps)x(n-1) GEMM rounds under lax.while_loop/fori_loop, with the
+    pair schedule computed on device (_rr_pairs).
 
 Accuracy envelope (tested): random symmetric/Hermitian f32 at n <= 512:
 residual ||A V - V diag(w)||_F / ||A||_F and ||V^H V - I||_F both ~ n*eps;
@@ -56,6 +60,7 @@ from ..ops.householder import _einsum, _h
 from ..utils.config import DEFAULT_CONFIG, QRConfig
 from ..utils.errors import QRShapeError
 from ..utils.hostio import to_device
+from .qr import qr
 
 _H = jax.lax.Precision.HIGHEST
 
@@ -74,8 +79,26 @@ def _round_robin(n: int) -> np.ndarray:
     return np.asarray(rounds, dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("max_sweeps",))
-def _jacobi_eigh(A: jnp.ndarray, schedule: jnp.ndarray, max_sweeps: int = 30):
+def _rr_pairs(r, n: int):
+    """Round-robin pairs of round r, computed on device (circle method).
+
+    Fixed player n-1; players 0..n-2 rotate.  Over r = 0..n-2 every
+    unordered pair appears exactly once, and each round is a perfect
+    matching -- the same cover `_round_robin` builds on the host, without
+    embedding an (n-1, n/2, 2) constant in the compiled program (67 MB at
+    n = 4096, which the on-chip D&C's per-bucket Jacobi fallback would
+    otherwise pay).
+    """
+    k = jnp.arange(n // 2, dtype=jnp.int32)
+    r = jnp.asarray(r, jnp.int32)
+    a = jnp.where(k == 0, n - 1, (k + r) % (n - 1))
+    b = (jnp.where(k == 0, 0, n - 1 - k) + r) % (n - 1)
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
+@partial(jax.jit, static_argnames=("max_sweeps", "sort"))
+def _jacobi_eigh(A: jnp.ndarray, schedule: jnp.ndarray | None,
+                 max_sweeps: int = 30, sort: bool = True):
     """Cyclic Jacobi with parallel ordering; A Hermitian (n x n, n even).
 
     One round: closed-form diagonalization of the n/2 disjoint 2x2 blocks
@@ -83,6 +106,11 @@ def _jacobi_eigh(A: jnp.ndarray, schedule: jnp.ndarray, max_sweeps: int = 30):
     GEMMs.  Sweeps run under while_loop until off(A) <= 5 eps ||A||_F or
     max_sweeps (cyclic Jacobi is globally convergent and asymptotically
     quadratic, so the cap is a formality).
+
+    schedule: (n-1, n/2, 2) pair table, or None to compute each round's
+    pairs on device via `_rr_pairs`.  sort=False returns the eigenvalues
+    unsorted on the diagonal positions where they converged -- the property
+    the on-chip D&C base case needs so zero-padded coordinates stay put.
     """
     n = A.shape[0]
     cplx = jnp.iscomplexobj(A)
@@ -104,10 +132,13 @@ def _jacobi_eigh(A: jnp.ndarray, schedule: jnp.ndarray, max_sweeps: int = 30):
     def one_round(r, AV):
         A, V = AV
         r = jnp.asarray(r, jnp.int32)  # fori index is int64 under x64
-        pq = jax.lax.dynamic_slice(
-            schedule, (r, jnp.int32(0), jnp.int32(0)),
-            (1, n // 2, 2))[0]
-        p, q = pq[:, 0], pq[:, 1]
+        if schedule is None:
+            p, q = _rr_pairs(r, n)
+        else:
+            pq = jax.lax.dynamic_slice(
+                schedule, (r, jnp.int32(0), jnp.int32(0)),
+                (1, n // 2, 2))[0]
+            p, q = pq[:, 0], pq[:, 1]
         app = A[p, p].real.astype(rdt)
         aqq = A[q, q].real.astype(rdt)
         apq = A[p, q]
@@ -152,24 +183,10 @@ def _jacobi_eigh(A: jnp.ndarray, schedule: jnp.ndarray, max_sweeps: int = 30):
     V0 = jnp.eye(n, dtype=A.dtype)
     A, V, _ = jax.lax.while_loop(cont, sweep, (A, V0, jnp.int32(0)))
     w = jnp.diagonal(A).real.astype(rdt)
+    if not sort:
+        return w, V
     order = jnp.argsort(w)
     return w[order], V[:, order]
-
-
-@jax.jit
-def _gershgorin(A):
-    """(lo, hi) enclosing the spectrum; and the real diagonal."""
-    d = jnp.diagonal(A).real
-    r = jnp.sum(jnp.abs(A), axis=1) - jnp.abs(jnp.diagonal(A))
-    return jnp.min(d - r), jnp.max(d + r), d
-
-
-@partial(jax.jit, static_argnames=("config",))
-def _split_transform(A, V, config: QRConfig):
-    """A' = V^H A V at HIGHEST precision (one program per padded n)."""
-    prec = config.precision
-    AV = _einsum("ik,kj->ij", A, V, precision=prec)
-    return _einsum("ki,kj->ij", jnp.conj(V), AV, precision=prec)
 
 
 def _pad_sentinel(A, npad: int, sentinel: float):
@@ -186,62 +203,339 @@ def _bucket(n: int, bucket: int) -> int:
     return -(-n // bucket) * bucket
 
 
-def _signf(X, config: QRConfig, ibucket: int, scale: float):
-    """Matrix sign function of Hermitian X: the QDWH polar factor, computed
-    at a size bucketed up to a multiple of ``ibucket``.
+# --------------------------------------------------------------------------
+# On-chip divide-and-conquer (the n > base_n path)
+#
+# The recursion's split sizes are data-dependent, so a naive implementation
+# drives it from the host -- which through a tunneled TPU costs ~1 RTT per
+# scalar fetch per node (~100 ms each; measured 3.2 s at 1024^2, RESULTS x8)
+# plus one XLA compile per exact interior size.  Instead the whole
+# divide-and-conquer runs inside ONE jitted program: an explicit agenda
+# stack of (offset, size) subproblems, processed by lax.switch over a small
+# set of bucketed static block sizes, with dynamic sizes handled by
+# iota-masking.  This is the shape discipline of XLA's own TPU QDWH-eig
+# lowering (jax._src.tpu.linalg.eigh -- studied as prior art, rebuilt here
+# on this library's own primitives: the dynamic-weight QDWH iteration of
+# models/polar.py, the blocked-Householder complete QR of models/qr.py, and
+# the parallel-ordered Jacobi base case above).  Zero host round-trips.
+# --------------------------------------------------------------------------
 
-    Padding is exact block-diagonal: polar(blockdiag(X, c I)) ==
-    blockdiag(polar(X), I) with c > 0, and every QDWH operation (GEMM,
-    Cholesky, triangular solve, Householder panels) propagates the zero
-    off-blocks to O(eps) -- the same order as the iteration's own backward
-    error, which the caller's split-quality certificate already absorbs.
-    Bucketing collapses the D&C recursion's interior sizes onto a few
-    compiled QDWH pipelines instead of one per exact size (the dominant
-    compile cost: each pipeline is ~6 stacked QRs + Cholesky steps).
-    Unlike sentinel-padding the RECURSION (which never terminates -- see
-    the note in _eigh_rec), the pad block here is sliced off immediately:
-    children always see exact sizes.
+
+def _dmask(x, dims, alt=0):
+    """Mask x outside the dynamic extents `dims` (None = full) with alt."""
+    m = None
+    for axis, d in enumerate(dims):
+        if d is None:
+            continue
+        mi = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis) < d
+        m = mi if m is None else jnp.logical_and(m, mi)
+    return x if m is None else jnp.where(m, x, alt)
+
+
+def _dslice(x, starts, dyn, static, fill=0):
+    """dynamic_slice returning a static `static`-shaped block whose live
+    region is the dynamic `dyn` rectangle; out-of-range reads become
+    `fill` instead of clamping."""
+    pad = jax.lax.pad(x, jnp.asarray(0, x.dtype),
+                      [(0, s, 0) for s in static])
+    out = jax.lax.dynamic_slice(
+        pad, tuple(jnp.asarray(i, jnp.int32) for i in starts), static)
+    return _dmask(out, dyn, fill)
+
+
+def _dupdate(x, upd, starts, dims):
+    """dynamic_update_slice writing only the `dims` rectangle of `upd`."""
+    shape = x.shape
+    xp = jax.lax.pad(x, jnp.asarray(0, x.dtype),
+                     [(0, s, 0) for s in upd.shape])
+    starts = tuple(jnp.asarray(i, jnp.int32) for i in starts)
+    cur = jax.lax.dynamic_slice(xp, starts, upd.shape)
+    xp = jax.lax.dynamic_update_slice(
+        xp, _dmask(upd, dims, cur), starts)
+    return jax.lax.slice(xp, (0,) * x.ndim, shape)
+
+
+def _invariant_bases(P, Hblk, b, rank, config: QRConfig):
+    """Split R^b into range(P) and its complement by subspace iteration.
+
+    P: Hermitian projector of dynamic rank `rank`, live in the leading
+    (b, b) block of a static (B, B) array (zero outside).  Returns
+    (V1, V2): B x B arrays whose leading (b, rank) / (b, b-rank) blocks
+    are orthonormal bases of range(P) and its complement within the live
+    coordinates.  One complete blocked-Householder QR of the top-`rank`
+    columns of P (by column norm) converges almost always in one step --
+    the projector's eigenvalue gap is exactly 1; Hblk supplies the
+    convergence certificate ||V2^H H V1||.
     """
-    from .polar import _prep, _qdwh_jit, _qdwh_schedule
+    B = P.shape[0]
+    prec = config.precision
+    rdt = jnp.float64 if P.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    eps = jnp.asarray(jnp.finfo(rdt).eps, rdt)
+    iota = jnp.arange(B)
+    cn = jnp.linalg.norm(P, axis=0).astype(rdt)
+    # negate so argsort puts the largest norms first; NaN-mask dead columns
+    # (they sort last)
+    order = jnp.argsort(jnp.where(iota < b, -cn, jnp.nan))
+    X0 = _dmask(P[:, order], (None, rank))
+    thresh = 10.0 * eps * jnp.linalg.norm(Hblk).astype(rdt)
 
-    n = X.shape[0]
-    npad = _bucket(n, ibucket) if ibucket else n
-    if npad != n:
-        Xp = jnp.zeros((npad, npad), X.dtype)
-        Xp = Xp.at[:n, :n].set(X)
-        idx = jnp.arange(n, npad)
-        # sentinel at the spectrum scale: keeps cond(X_pad) == cond(X) and
-        # its sign is +1, so the pad block of U is exactly +I
-        Xp = Xp.at[idx, idx].set(jnp.asarray(scale, X.dtype))
-        X = Xp
-    dt = X.dtype
-    if not jnp.iscomplexobj(X) and config.dtype != dt:
-        config = config.replace(dtype=dt)
-    eps = float(jnp.finfo(jnp.float64 if dt == jnp.float64 else
-                          jnp.float32).eps)
-    schedule = tuple(_qdwh_schedule(
-        (eps / 10.0) / (npad * npad) ** 0.25, eps))
-    U = _qdwh_jit(_prep(X), schedule, config)
-    return U[:n, :n] if npad != n else U
+    def qr_split(X):
+        Q, _ = qr(X, config, mode="complete")
+        V1 = _dmask(Q, (b, rank))
+        V2 = _dslice(Q, (0, rank), (b, b - rank), (B, B))
+        E = _einsum("ki,kj->ij", jnp.conj(V2),
+                    _einsum("ik,kj->ij", Hblk, V1, precision=prec),
+                    precision=prec)
+        return V1, V2, jnp.linalg.norm(E).astype(rdt)
+
+    V1, V2, err = qr_split(X0)
+
+    def body(st):
+        V1, _, it, _ = st
+        X = _einsum("ik,kj->ij", P, V1, precision=prec)
+        V1, V2, err = qr_split(X)
+        return V1, V2, it + 1, err
+
+    def cond(st):
+        _, _, it, err = st
+        return jnp.logical_and(err > thresh, it < 2)
+
+    V1, V2, _, _ = jax.lax.while_loop(
+        cond, body, (V1, V2, jnp.int32(0), err))
+    return V1, V2
+
+
+def _split_node(Hblk, b, config: QRConfig):
+    """One divide step on the live (b, b) block of a static (B, B) array.
+
+    sigma candidates (diagonal median, then Gershgorin midpoint/quartiles)
+    are tried under a device while_loop until the matrix sign function
+    U = sign(H - sigma I) -- the dynamic-weight QDWH polar iteration of
+    models/polar.py, with the pad block pinned to +I -- yields a proper
+    split 0 < k < b.  Subspace iteration on the smaller-rank projector
+    then produces the two invariant-subspace bases.
+
+    Returns (V_minus, V_plus, k, ok): bases of the < sigma (size k) and
+    >= sigma (size b - k) eigenspaces, and whether any candidate split.
+    """
+    from .polar import _qdwh_dyn_core
+
+    B = Hblk.shape[0]
+    dt = Hblk.dtype
+    prec = config.precision
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    eps = float(jnp.finfo(rdt).eps)
+    iota = jnp.arange(B)
+    dre = jnp.diagonal(Hblk).real.astype(rdt)
+    med = jnp.nanmedian(jnp.where(iota < b, dre, jnp.nan))
+    gr = jnp.sum(jnp.abs(Hblk), axis=1).astype(rdt) - jnp.abs(dre)
+    lo = jnp.min(jnp.where(iota < b, dre - gr, jnp.inf))
+    hi = jnp.max(jnp.where(iota < b, dre + gr, -jnp.inf))
+    width = jnp.maximum(hi - lo, jnp.asarray(eps, rdt))
+    cands = jnp.stack([med, lo + 0.5 * width,
+                       lo + 0.25 * width, lo + 0.75 * width])
+    cands = jnp.clip(cands, lo + 1e-3 * width, hi - 1e-3 * width)
+    eyeB = jnp.eye(B, dtype=dt)
+    I_m = _dmask(eyeB, (b, b))
+    pad_eye = eyeB - I_m          # +1 on the dead diagonal
+    l0 = eps / 10.0 / float(B) ** 0.5
+
+    def try_cand(i):
+        sigma = cands[i]
+        Hs = Hblk - sigma.astype(dt) * I_m
+        absHs = jnp.abs(Hs)
+        alpha = jnp.sqrt(jnp.max(jnp.sum(absHs, axis=0))
+                         * jnp.max(jnp.sum(absHs, axis=1))).astype(rdt)
+        alpha = jnp.where(alpha > 0, alpha, 1.0)
+        # pad block = +I: its sign is exactly +I, so the live block's
+        # projector traces are unpolluted after masking
+        X = (Hs / alpha.astype(absHs.dtype)).astype(dt) + pad_eye
+        U = _dmask(_qdwh_dyn_core(X, l0, config, prec), (b, b))
+        k = jnp.round(jnp.trace((I_m - U) * 0.5).real).astype(jnp.int32)
+        return U, k
+
+    U0, k0 = try_cand(jnp.int32(0))
+
+    def retry_cond(st):
+        i, _, k = st
+        return jnp.logical_and(jnp.logical_or(k <= 0, k >= b), i < 4)
+
+    def retry_body(st):
+        i, _, _ = st
+        U, k = try_cand(i)
+        return i + 1, U, k
+
+    _, U, k = jax.lax.while_loop(retry_cond, retry_body,
+                                 (jnp.int32(1), U0, k0))
+    ok = jnp.logical_and(k > 0, k < b)
+    k = jnp.clip(k, 1, jnp.maximum(b - 1, 1))  # shape-safe when not ok
+    P_minus = (I_m - U) * 0.5
+    P_plus = (I_m + U) * 0.5
+    swap = (b - k) < k
+    V_minus, V_plus = jax.lax.cond(
+        swap,
+        lambda: tuple(reversed(
+            _invariant_bases(P_plus, Hblk, b, b - k, config))),
+        lambda: _invariant_bases(P_minus, Hblk, b, k, config))
+    return V_minus, V_plus, k, ok
+
+
+@partial(jax.jit, static_argnames=("config", "term", "max_sweeps"))
+def _eigh_onchip(A, config: QRConfig, term: int, max_sweeps: int):
+    """The agenda-driven D&C work loop (see the section comment above).
+
+    A: exact-size (N, N) Hermitian input.  Returns (w ascending, V).
+    """
+    N = A.shape[0]
+    dt = A.dtype
+    prec = config.precision
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    eps = float(jnp.finfo(rdt).eps)
+    H0n = jnp.linalg.norm(A).astype(rdt)
+
+    def push(stk, o, s):
+        off, sz, t = stk
+        return (off.at[t].set(o), sz.at[t].set(s), t + 1)
+
+    def pop(stk):
+        off, sz, t = stk
+        return (off[t - 1], sz[t - 1]), (off, sz, t - 1)
+
+    cap = N + 1
+    stack = push((jnp.zeros(cap, jnp.int32), jnp.zeros(cap, jnp.int32),
+                  jnp.int32(0)), jnp.int32(0), jnp.int32(N))
+    blocks = A
+    vecs = jnp.eye(N, dtype=dt)
+
+    def base_case(C, offset, b, stack, blocks, vecs):
+        Hb = _dslice(blocks, (offset, 0), (b, b), (C, C))
+        wl, Vj = _jacobi_eigh(Hb, None, max_sweeps=max_sweeps, sort=False)
+        Vj = _dmask(Vj, (b, b)).astype(dt)
+        V0 = _dslice(vecs, (0, offset), (N, b), (N, C))
+        Vnew = _einsum("ik,kj->ij", V0, Vj, precision=prec)
+        blocks = _dupdate(blocks, wl[:, None].astype(dt), (offset, 0),
+                          (b, 1))
+        vecs = _dupdate(vecs, Vnew, (0, offset), (None, b))
+        return stack, blocks, vecs
+
+    def recursive_case(B, offset, b, stack, blocks, vecs):
+        Hb = _dslice(blocks, (offset, 0), (b, b), (B, B))
+        nrm = jnp.linalg.norm(Hb).astype(rdt)
+        dvec = jnp.diagonal(Hb)
+        offd = jnp.linalg.norm(Hb - jnp.diag(dvec)).astype(rdt)
+        # cluster / noise-floor exits (Nakatsukasa-Higham section 5.2):
+        # a block that is diagonal to working precision, or pure numerical
+        # noise relative to the input, is done -- required for clustered /
+        # rank-deficient spectra where no sigma can split
+        done = jnp.logical_or(offd <= 5.0 * eps * nrm, nrm < eps * H0n)
+
+        def diag_case(stack, blocks, vecs):
+            blocks_ = _dupdate(blocks, dvec.real.astype(dt)[:, None],
+                               (offset, 0), (b, 1))
+            return stack, blocks_, vecs
+
+        def split_case(stack, blocks, vecs):
+            V_minus, V_plus, k, ok = _split_node(Hb, b, config)
+            V0 = _dslice(vecs, (0, offset), (N, b), (N, B))
+
+            def good(stack, blocks, vecs):
+                HV1 = _einsum("ik,kj->ij", Hb, V_minus, precision=prec)
+                H1 = _einsum("ki,kj->ij", jnp.conj(V_minus), HV1,
+                             precision=prec)
+                HV2 = _einsum("ik,kj->ij", Hb, V_plus, precision=prec)
+                H2 = _einsum("ki,kj->ij", jnp.conj(V_plus), HV2,
+                             precision=prec)
+                H1 = ((H1 + _h(H1).T) * 0.5).astype(dt)
+                H2 = ((H2 + _h(H2).T) * 0.5).astype(dt)
+                Vm = _einsum("ik,kj->ij", V0, V_minus, precision=prec)
+                Vp = _einsum("ik,kj->ij", V0, V_plus, precision=prec)
+                blocks_ = _dupdate(blocks, H1, (offset, 0), (k, k))
+                blocks_ = _dupdate(blocks_, H2, (offset + k, 0),
+                                   (b - k, b - k))
+                vecs_ = _dupdate(vecs, Vm.astype(dt), (0, offset),
+                                 (None, k))
+                vecs_ = _dupdate(vecs_, Vp.astype(dt), (0, offset + k),
+                                 (None, b - k))
+                stack_ = push(stack, offset, k)
+                stack_ = push(stack_, offset + k, b - k)
+                return stack_, blocks_, vecs_
+
+            def jacobi_fallback(stack, blocks, vecs):
+                # no candidate separated the spectrum (tight multi-
+                # cluster): Jacobi terminates at any size, just without
+                # the divide step.  Never taken on random spectra; the
+                # backstop that guarantees the agenda always shrinks.
+                wl, Vj = _jacobi_eigh(Hb, None, max_sweeps=max_sweeps,
+                                      sort=False)
+                Vj = _dmask(Vj, (b, b)).astype(dt)
+                Vnew = _einsum("ik,kj->ij", V0, Vj, precision=prec)
+                blocks_ = _dupdate(blocks, wl[:, None].astype(dt),
+                                   (offset, 0), (b, 1))
+                vecs_ = _dupdate(vecs, Vnew, (0, offset), (None, b))
+                return stack, blocks_, vecs_
+
+            return jax.lax.cond(ok, good, jacobi_fallback,
+                                stack, blocks, vecs)
+
+        return jax.lax.cond(done, diag_case, split_case,
+                            stack, blocks, vecs)
+
+    # Bucketed static sizes: N, then geometrically shrinking (factor ~2,
+    # rounded up to 32) down to the termination size, so off-median splits
+    # never fall back into the next-larger bucket.
+    cutoff = min(N + (N % 2), term)
+    buckets = [cutoff]
+    branches = [partial(base_case, cutoff)]
+    if N > cutoff:
+        topb = N + (N % 2)  # Jacobi fallback needs even sizes
+        buckets.append(topb)
+        branches.append(partial(recursive_case, topb))
+        i = int(N / 1.98)
+        while i > cutoff:
+            bs = _bucket(i, 32)
+            buckets.append(bs)
+            branches.append(partial(recursive_case, bs))
+            i //= 2
+    buckets_arr = jnp.asarray(buckets, jnp.int32)
+
+    def loop_body(state):
+        stack, blocks, vecs = state
+        (o, b), stack = pop(stack)
+        which = jnp.where(buckets_arr < b, jnp.iinfo(jnp.int32).max,
+                          buckets_arr)
+        choice = jnp.argmin(which)
+        return jax.lax.switch(choice, branches, o, b, stack, blocks, vecs)
+
+    def loop_cond(state):
+        return state[0][2] > 0
+
+    _, blocks, vecs = jax.lax.while_loop(loop_cond, loop_body,
+                                         (stack, blocks, vecs))
+    w = blocks[:, 0].real.astype(rdt)
+    order = jnp.argsort(w)
+    return w[order], vecs[:, order]
 
 
 def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
-         bucket: int | None = None, max_sweeps: int = 30,
-         interior_bucket: int = 256):
+         bucket: int | None = None, max_sweeps: int = 30):
     """Full Hermitian eigendecomposition A = V diag(w) V^H, w ascending.
 
     jnp.linalg.eigh drop-in built from this library's own kernels (QDWH
-    sign-function splits + QRCP subspace bases + Jacobi base case); no XLA
-    eigensolver anywhere.  A may be real symmetric or complex Hermitian,
-    f32/f64/c64/c128; only the Hermitian part (A + A^H)/2 is used.
+    sign-function splits + blocked-Householder subspace bases + Jacobi base
+    case); no XLA eigensolver anywhere.  A may be real symmetric or complex
+    Hermitian, f32/f64/c64/c128; only the Hermitian part (A + A^H)/2 is
+    used.  For n > base_n the whole divide-and-conquer runs as ONE jitted
+    on-device program (`_eigh_onchip`) -- no per-node host round-trips and
+    a bounded set of compiled block sizes.
 
-    base_n: largest block solved directly by the Jacobi base case.
-    bucket: base-case blocks are padded up to multiples of this (default
-      min(base_n, 64)), bounding the set of compiled Jacobi shapes.
-    interior_bucket: interior QDWH sign-function calls run at sizes padded
-      up to multiples of this (exact block-diagonal padding, _signf),
-      bounding the set of compiled QDWH pipelines -- the dominant
-      first-call cost of the recursion.  0 = exact sizes.
+    base_n: largest block solved directly by the Jacobi base case (also
+      the D&C termination size).
+    bucket: direct-path (n <= base_n) Jacobi blocks are padded up to
+      multiples of this (default min(base_n, 64)), bounding the set of
+      compiled Jacobi shapes.
     """
     A = to_device(A)
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
@@ -253,8 +547,11 @@ def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
     if not jnp.iscomplexobj(A) and config.dtype != dt:
         config = config.replace(dtype=dt)
     A = ((A + _h(A).T) * 0.5).astype(dt)
-    w, V = _eigh_rec(A, config, base_n, bucket, max_sweeps, interior_bucket)
-    return w, V
+    n = A.shape[0]
+    if n <= base_n:
+        lo, hi, _ = _gershgorin(A)
+        return _eigh_base(A, bucket, max_sweeps, float(lo), float(hi))
+    return _eigh_onchip(A, config, base_n + (base_n % 2), max_sweeps)
 
 
 def eigh_batched(As, max_sweeps: int = 30):
@@ -291,6 +588,14 @@ def eigh_batched(As, max_sweeps: int = 30):
     return ws, Vs
 
 
+@jax.jit
+def _gershgorin(A):
+    """(lo, hi) enclosing the spectrum; and the real diagonal."""
+    d = jnp.diagonal(A).real
+    r = jnp.sum(jnp.abs(A), axis=1) - jnp.abs(jnp.diagonal(A))
+    return jnp.min(d - r), jnp.max(d + r), d
+
+
 def _eigh_base(A, bucket: int, max_sweeps: int, lo: float, hi: float):
     n = A.shape[0]
     npad = _bucket(max(n, 2), bucket)
@@ -300,75 +605,3 @@ def _eigh_base(A, bucket: int, max_sweeps: int, lo: float, hi: float):
     w, V = _jacobi_eigh(Ap, sched, max_sweeps=max_sweeps)
     # sentinel eigenpairs are exactly the npad-n smallest (sentinel < lo)
     return w[npad - n:], V[:n, npad - n:]
-
-
-def _eigh_rec(A, config: QRConfig, base_n: int, bucket: int,
-              max_sweeps: int, ibucket: int = 0):
-    n = A.shape[0]
-    lo_j, hi_j, diag_j = _gershgorin(A)
-    lo, hi = float(lo_j), float(hi_j)
-    scale = max(abs(lo), abs(hi), 1e-30)
-    rdt = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
-        else jnp.float32
-    eps = float(jnp.finfo(rdt).eps)
-
-    if n <= base_n:
-        return _eigh_base(A, bucket, max_sweeps, lo, hi)
-    if hi - lo <= 8.0 * eps * scale:
-        # spectrum is one cluster to working precision: A = c I + O(eps)
-        w = jnp.sort(jnp.diagonal(A).real.astype(rdt))
-        return w, jnp.eye(n, dtype=A.dtype)
-    # NOTE: interior nodes recurse at their exact size.  Bucketing them via
-    # sentinel diagonal padding (tried) does NOT terminate: the QRCP basis
-    # of the padded projector mixes pad coordinates into the complement
-    # block, so children inherit sentinel eigenvalues, re-pad, and a block
-    # can peel only sentinels forever.  Only the base case pads (there the
-    # padded block is EXACTLY block-diagonal and strips exactly).
-
-    diag = np.sort(np.asarray(jax.device_get(diag_j), dtype=np.float64))
-    width = hi - lo
-    # Split-point candidates: diagonal median (cheap, usually balanced),
-    # then Gershgorin midpoint, then quartile nudges for pathological
-    # spectra.  Each is nudged off exact diagonal ties.
-    candidates = [float(np.median(diag)), lo + 0.5 * width,
-                  lo + 0.25 * width, lo + 0.75 * width]
-
-    best = None
-    for sigma in candidates:
-        sigma = min(max(sigma, lo + 1e-3 * width), hi - 1e-3 * width)
-        U = _signf(A - jnp.asarray(sigma, A.dtype) * jnp.eye(n, dtype=A.dtype),
-                   config, ibucket, scale)
-        k = int(round((n + float(jax.device_get(jnp.trace(U).real))) / 2.0))
-        if 0 < k < n:
-            best = (sigma, U, k)
-            break
-    if best is None:
-        # no candidate separated the spectrum (tight multi-cluster):
-        # Jacobi handles any size, just without the divide step.
-        return _eigh_base(A, bucket, max_sweeps, lo, hi)
-    sigma, U, k = best
-
-    from .qr import qr_pivoted
-    P = (U + jnp.eye(n, dtype=A.dtype)) * 0.5
-    V, _, _ = qr_pivoted(P, config)          # n x n orthogonal; first k
-    Ap = _split_transform(A, V, config)      # columns span range(P)
-    # split-quality certificate: the off-diagonal block is the backward
-    # error of the invariant-subspace split
-    En = float(jax.device_get(
-        jnp.linalg.norm(Ap[k:, :k]) / jnp.asarray(scale, rdt)))
-    if En > 1e-2:
-        # sigma landed inside a cluster; Jacobi the block instead of
-        # accepting a visibly bad split (rare: random spectra never trip)
-        return _eigh_base(A, bucket, max_sweeps, lo, hi)
-
-    A1 = ((Ap[:k, :k] + _h(Ap[:k, :k]).T) * 0.5).astype(A.dtype)
-    A2 = ((Ap[k:, k:] + _h(Ap[k:, k:]).T) * 0.5).astype(A.dtype)
-    w1, W1 = _eigh_rec(A1, config, base_n, bucket, max_sweeps,
-                       ibucket)  # >= sigma
-    w2, W2 = _eigh_rec(A2, config, base_n, bucket, max_sweeps,
-                       ibucket)  # <  sigma
-    Vlo = _einsum("ik,kj->ij", V[:, k:], W2, precision=config.precision)
-    Vhi = _einsum("ik,kj->ij", V[:, :k], W1, precision=config.precision)
-    w = jnp.concatenate([w2, w1])
-    V = jnp.concatenate([Vlo.astype(A.dtype), Vhi.astype(A.dtype)], axis=1)
-    return w, V

@@ -118,6 +118,105 @@ def _qdwh_jit(X, schedule, config: QRConfig):
     return U
 
 
+def _halley_weights(l, rdt):
+    """Dynamic Halley weights (a, b, c) from the scalar bound l.
+
+    Factored so every intermediate stays in fp32 range for l >= ~1e-12:
+    the textbook form computes l^4 (underflows fp32 below l ~ 1e-9), so
+    d = cbrt(4(1-l^2)) * exp(-4/3 log l) instead.
+    """
+    l = jnp.clip(l.astype(rdt), jnp.asarray(1e-12, rdt), jnp.asarray(1.0, rdt))
+    l2 = l * l
+    d = jnp.cbrt(4.0 * (1.0 - l2)) * jnp.exp(
+        jnp.asarray(-4.0 / 3.0, rdt) * jnp.log(l))
+    sq = jnp.sqrt(1.0 + d)
+    a = sq + 0.5 * jnp.sqrt(
+        jnp.maximum(8.0 - 4.0 * d + 8.0 * (2.0 - l2) / (l2 * sq), 0.0))
+    b = (a - 1.0) ** 2 / 4.0
+    c = a + b - 1.0
+    return a, b, c
+
+
+def _qdwh_dyn_core(X, l0, config: QRConfig, prec):
+    """Dynamic-weight QDWH polar iteration (device-side scalar recurrence).
+
+    Unlike ``_qdwh_core`` (whose weight schedule is unrolled at trace time
+    -- one stacked-QR program instance per step), this traces ONE QR step
+    and ONE Cholesky step under two ``lax.while_loop`` phases, carrying the
+    lower bound l as a device scalar.  Built for callers that instantiate
+    QDWH at many shapes inside a larger jitted program (the on-chip eigh
+    divide-and-conquer), where per-step unrolling multiplies compile time.
+    Iteration count at runtime matches the static schedule for the same l0.
+
+    X: (m, n) scaled so its singular values lie in (l_true, 1]; l0: device
+    scalar lower bound for sigma_min(X) (pessimistic is fine -- extra
+    iterations are no-ops once l reaches 1).
+    """
+    m, n = X.shape
+    dt = X.dtype
+    cplx = jnp.iscomplexobj(X)
+    rdt = jnp.float64 if dt in (jnp.float64, jnp.complex128) else jnp.float32
+    eps = jnp.asarray(jnp.finfo(rdt).eps, rdt)
+    eye = jnp.eye(n, dtype=dt)
+    l0 = jnp.asarray(l0, rdt)
+
+    def qr_step(X, a, b, c):
+        bc = b / c
+        sc = jnp.sqrt(c)
+        stacked = jnp.concatenate([(sc.astype(dt) * X), eye], axis=0)
+        Q = _thin_q2(stacked, config)
+        Q1, Q2 = Q[:m], Q[m:]
+        return (bc.astype(dt) * X
+                + ((a - bc) / sc).astype(dt)
+                * _einsum("ik,jk->ij", Q1, _h(Q2), precision=prec)).astype(dt)
+
+    def chol_step(X, a, b, c):
+        from ..ops.smalllinalg import chol_with_inv_auto
+        bc = b / c
+        G = _einsum("ki,kj->ij", _h(X), X, precision=prec)
+        Z = eye + c.astype(dt) * G
+        _, Li = chol_with_inv_auto(Z, precision=prec, config=config)
+        XL = _einsum("ik,jk->ij", X, _h(Li), precision=prec)
+        return (bc.astype(dt) * X
+                + (a - bc).astype(dt)
+                * _einsum("ik,kj->ij", XL, Li, precision=prec)).astype(dt)
+
+    def advance(l, a, b, c):
+        l2 = l * l
+        return jnp.clip(l * (a + b * l2) / (1.0 + c * l2), 0.0, 1.0)
+
+    max_it = 24
+
+    def qr_cond(st):
+        _, l, it = st
+        _, _, c = _halley_weights(l, rdt)
+        converged = 1.0 - l <= 5.0 * eps
+        in_qr = jnp.asarray(True) if cplx else c > _CHOL_C_MAX
+        return jnp.logical_and(jnp.logical_and(in_qr, ~converged),
+                               it < max_it)
+
+    def qr_body(st):
+        X, l, it = st
+        a, b, c = _halley_weights(l, rdt)
+        return qr_step(X, a, b, c), advance(l, a, b, c), it + 1
+
+    def ch_cond(st):
+        _, l, it = st
+        converged = 1.0 - l <= 5.0 * eps
+        return jnp.logical_and(~converged, it < max_it)
+
+    def ch_body(st):
+        X, l, it = st
+        a, b, c = _halley_weights(l, rdt)
+        return chol_step(X, a, b, c), advance(l, a, b, c), it + 1
+
+    st = (X, l0, jnp.int32(0))
+    st = jax.lax.while_loop(qr_cond, qr_body, st)
+    if not cplx:
+        st = jax.lax.while_loop(ch_cond, ch_body, st)
+    return st[0]
+
+
 def polar(A, side: str = "right", l0: float | None = None,
           config: QRConfig = DEFAULT_CONFIG, max_iter: int = 24):
     """Polar decomposition (scipy.linalg.polar analog, QDWH, SVD-free).
