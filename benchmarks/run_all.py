@@ -361,7 +361,11 @@ def extras_mosaic():
     # SPD Gram with unit diagonal dominance, the qr_blocked shape
     X = rng.standard_normal((1024, nb)).astype(np.float32)
     G = jnp.asarray(X.T @ X / 1024 + 0.1 * np.eye(nb, dtype=np.float32))
-    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G, reps=10)
+    # reps=1000: a ~100 us kernel under reps=10 leaves steady_net_s clamped
+    # at 0 (the whole per-rep time is tunnel RTT/reps); at reps=1000 the
+    # RTT share amortizes to ~60-100 us/rep and the kernel time resolves.
+    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G,
+               reps=1000)
     L, Li = chol_with_inv_pallas(G, interpret=False)
     L64, Li64 = np.asarray(L, np.float64), np.asarray(Li, np.float64)
     G64 = np.asarray(G, np.float64)
@@ -374,16 +378,17 @@ def extras_mosaic():
     norms = jnp.asarray((np.asarray(Sc) ** 2).sum(0))
     rs = bench(lambda s, nn: select_pivots_pallas(s, nn, nb,
                                                   interpret=False),
-               Sc, norms, reps=10)
+               Sc, norms, reps=1000)
     order = np.asarray(select_pivots_pallas(Sc, norms, nb, interpret=False))
     nsel = int((order >= 0).sum())
     return {"config": "x7: Mosaic kernels compiled (chol+inv 128, "
                       "pivot-select 128/512)",
-            # net-of-RTT: at ~100 us of kernel time a reps=10 loop is
-            # otherwise pure tunnel-roundtrip (timing.py steady_net_s)
             "chol_us": round(rc.steady_net_s * 1e6, 1),
             "select_us": round(rs.steady_net_s * 1e6, 1),
+            "chol_raw_us": round(rc.steady_s * 1e6, 1),
+            "select_raw_us": round(rs.steady_s * 1e6, 1),
             "rtt_ms": round(rc.rtt_s * 1e3, 1),
+            "reps": 1000,
             "chol_resid": float(f"{chol_err:.3e}"),
             "inv_resid": float(f"{inv_err:.3e}"),
             "pivots_selected": nsel,
