@@ -361,11 +361,25 @@ def extras_mosaic():
     # SPD Gram with unit diagonal dominance, the qr_blocked shape
     X = rng.standard_normal((1024, nb)).astype(np.float32)
     G = jnp.asarray(X.T @ X / 1024 + 0.1 * np.eye(nb, dtype=np.float32))
-    # reps=1000: a ~100 us kernel under reps=10 leaves steady_net_s clamped
-    # at 0 (the whole per-rep time is tunnel RTT/reps); at reps=1000 the
-    # RTT share amortizes to ~60-100 us/rep and the kernel time resolves.
-    rc = bench(lambda g: chol_with_inv_pallas(g, interpret=False), G,
-               reps=1000)
+    # A ~100 us kernel cannot be resolved by repeated dispatch through the
+    # tunnel: reps=10 leaves the whole per-rep time at RTT/reps (the r4
+    # first cut printed 0.0), and reps=1000 pays ~0.3-0.6 s of per-call
+    # dispatch ack EACH -- observed wedged >19 min.  Instead loop the
+    # kernel K times INSIDE one jitted program with a data dependency
+    # (G -> L -> G' = L L^T, numerically a fixed point), so ONE dispatch
+    # yields K device iterations; per-iteration time = steady_net/K, an
+    # upper bound on the kernel cost (includes one nb^3 reform GEMM).
+    K = 100
+    H = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def chol_loop(G):
+        def body(_, Gc):
+            L, Li = chol_with_inv_pallas(Gc, interpret=False)
+            return jnp.einsum("ij,kj->ik", L, L, precision=H)
+        return jax.lax.fori_loop(0, K, body, G)
+
+    rc = bench(chol_loop, G, reps=3)
     L, Li = chol_with_inv_pallas(G, interpret=False)
     L64, Li64 = np.asarray(L, np.float64), np.asarray(Li, np.float64)
     G64 = np.asarray(G, np.float64)
@@ -376,19 +390,30 @@ def extras_mosaic():
     l, cand = 128, 512
     Sc = jnp.asarray(rng.standard_normal((l, cand)).astype(np.float32))
     norms = jnp.asarray((np.asarray(Sc) ** 2).sum(0))
-    rs = bench(lambda s, nn: select_pivots_pallas(s, nn, nb,
-                                                  interpret=False),
-               Sc, norms, reps=1000)
+    @jax.jit
+    def select_loop(s, nn):
+        def body(_, s):
+            order = select_pivots_pallas(s, nn, nb, interpret=False)
+            # Serializing data dependency that leaves s bit-identical:
+            # sum(order) <= nb*cand ~ 6.5e4, scaled by 1e-30 it underflows
+            # below one ulp of the O(1) scores -- but the kernel output is
+            # opaque to XLA, so the iterations cannot be collapsed.
+            dep = jnp.sum(order).astype(s.dtype) * s.dtype.type(1e-30)
+            return s + dep
+        return jax.lax.fori_loop(0, K, body, s)
+
+    rs = bench(select_loop, Sc, norms, reps=3)
     order = np.asarray(select_pivots_pallas(Sc, norms, nb, interpret=False))
     nsel = int((order >= 0).sum())
     return {"config": "x7: Mosaic kernels compiled (chol+inv 128, "
                       "pivot-select 128/512)",
-            "chol_us": round(rc.steady_net_s * 1e6, 1),
-            "select_us": round(rs.steady_net_s * 1e6, 1),
-            "chol_raw_us": round(rc.steady_s * 1e6, 1),
-            "select_raw_us": round(rs.steady_s * 1e6, 1),
+            "chol_us": round(rc.steady_net_s * 1e6 / K, 1),
+            "select_us": round(rs.steady_net_s * 1e6 / K, 1),
             "rtt_ms": round(rc.rtt_s * 1e3, 1),
-            "reps": 1000,
+            "loop_k": K, "reps": 3,
+            "timing_form": "K-deep in-graph loop per dispatch; per-iter "
+                           "upper bound (chol row includes one nb^3 "
+                           "reform GEMM)",
             "chol_resid": float(f"{chol_err:.3e}"),
             "inv_resid": float(f"{inv_err:.3e}"),
             "pivots_selected": nsel,
