@@ -138,8 +138,18 @@ def _qr_blocked_scan(A: jnp.ndarray, config: QRConfig) -> PackedQR:
     m_pad, n_pad = A.shape
     nb = config.panel_width
     k = n_pad // nb
-    stages = max(1, min(config.scan_stages, k))
-    bounds = [round(s * k / stages) for s in range(stages + 1)]
+    if config.stage_schedule is not None:
+        sched = list(config.stage_schedule)
+        if any(c <= 0 for c in sched) or sum(sched) != k:
+            raise ValueError(
+                f"stage_schedule {config.stage_schedule} must be positive "
+                f"and sum to the panel count k={k}")
+        bounds = [0]
+        for c in sched:
+            bounds.append(bounds[-1] + c)
+    else:
+        stages = max(1, min(config.scan_stages, k))
+        bounds = [round(s * k / stages) for s in range(stages + 1)]
     taus_all, Ts_all, VJs_all = [], [], []
     stage_cols = []   # per stage: packed columns (rows r0:, width kg*nb)
     tops = []         # per stage: (r0, r1, final rows [r0, r1) of cols r1:)

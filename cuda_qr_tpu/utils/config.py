@@ -11,7 +11,7 @@ in Python.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +93,15 @@ class QRConfig:
     # waste shrinks from ~2x toward exact as stages grow, at one extra traced
     # body per stage.  4 stages ~= 47% of the unstaged GEMM volume at 8192^2.
     scan_stages: int = 4
+    # Optional non-uniform stage schedule for the scan driver: panels per
+    # stage, summing to the panel count k (overrides scan_stages when set).
+    # Motivation (docs/PERF.md r4 anatomy): the stage taper leaves late
+    # stages running skinny GEMMs far below MXU peak; a tail schedule like
+    # (2,)*24 + (8,)*2 keeps the early exact-width discipline but batches
+    # the last 16 panels into two deep (g=8, 1024-deep-reflector) groups.
+    # Every stage whose panel count equals its lookahead group width still
+    # takes the exact-width kg==g path.
+    stage_schedule: Optional[Tuple[int, ...]] = None
     # orgqr/ormqr panel aggregation: apply panels in groups of up to this
     # many (power of two), merged into ONE wide block reflector via
     #   T = [[T1, -T1 (V1^T V2) T2], [0, T2]]

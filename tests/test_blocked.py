@@ -242,3 +242,33 @@ def test_lookahead_group_widths(rng, stages, g):
     assert chk.residual < n * chk.eps, (stages, g, chk)
     assert chk.orthogonality < 4 * n * chk.eps, (stages, g, chk)
     assert chk.r_triangular == 0.0
+
+
+@pytest.mark.parametrize("sched,g", [
+    ((2,) * 4 + (8,), 8),   # the tail schedule: exact-width everywhere
+    ((1, 3, 4, 8), 4),      # mixed counts incl. non-power-of-two stage
+    ((16,), 4),             # single stage == plain scan
+])
+def test_stage_schedule(rng, sched, g):
+    """Non-uniform stage_schedule must factor identically well to the
+    uniform ladder (16 panels of width 16 at 256x256), including tail
+    stages whose panel count equals the lookahead width (kg == g path)."""
+    m = n = 256
+    cfg = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False,
+                   stage_schedule=sched, factor_lookahead=g)
+    A = rng.standard_normal((m, n))
+    fac = qr_blocked(jnp.asarray(A), cfg)
+    Q = orgqr(fac, m, n, cfg)
+    R = extract_r(fac, n)
+    chk = check_qr(A, Q, R)
+    assert chk.residual < n * chk.eps, (sched, g, chk)
+    assert chk.orthogonality < 4 * n * chk.eps, (sched, g, chk)
+    assert chk.r_triangular == 0.0
+
+
+def test_stage_schedule_validation(rng):
+    A = jnp.asarray(rng.standard_normal((64, 64)))
+    bad = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False,
+                   stage_schedule=(2, 1))  # sums to 3, k = 4
+    with pytest.raises(ValueError, match="stage_schedule"):
+        qr_blocked(A, bad)
