@@ -47,8 +47,16 @@ def _config(args):
         jax.config.update("jax_enable_x64", True)
     dtype = {"f32": jnp.float32, "f64": jnp.float64,
              "bf16": jnp.bfloat16}[args.dtype]
+    extra = {}
+    if getattr(args, "stages", None) is not None:
+        extra["scan_stages"] = args.stages
+    if getattr(args, "lookahead", None) is not None:
+        extra["factor_lookahead"] = args.lookahead
+    if getattr(args, "stage_schedule", None):
+        extra["stage_schedule"] = tuple(
+            int(x) for x in args.stage_schedule.split(","))
     return QRConfig(dtype=dtype, use_pallas=not args.no_pallas,
-                    tsqr_leaf=args.tsqr_leaf)
+                    tsqr_leaf=args.tsqr_leaf, **extra)
 
 
 def _emit(rec):
@@ -694,6 +702,14 @@ def main(argv=None):
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--tsqr-leaf", choices=["householder", "cholqr2"],
                    default="householder")
+    p.add_argument("--stages", type=int, default=None,
+                   help="scan driver stages (QRConfig.scan_stages)")
+    p.add_argument("--lookahead", type=int, default=None,
+                   help="factor lookahead group width")
+    p.add_argument("--stage-schedule", type=str, default=None,
+                   help="comma-separated panels-per-stage (overrides "
+                        "--stages; must sum to the panel count), e.g. "
+                        "2,2,2,8 -- see QRConfig.stage_schedule")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, np_ in [("factor", 2), ("tsqr", 2), ("compare", 2)]:
         sp = sub.add_parser(name)
