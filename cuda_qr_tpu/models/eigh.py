@@ -551,17 +551,22 @@ def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
     if n <= base_n:
         lo, hi, _ = _gershgorin(A)
         return _eigh_base(A, bucket, max_sweeps, float(lo), float(hi))
-    # Large-n compile-size routing (measured r4, docs/PERF.md "eigh
-    # routing"): each D&C bucket embeds a blocked-QR program per QDWH
-    # step, and its graph size scales with scan_stages; at n >= 3072 the
-    # default 4-stage driver lowers to a ~7 MB MLIR module that remote
-    # AOT compile helpers resource-kill.  The single-stage driver
-    # compiles (2303 s) and runs 2485 ms at 4096^2 -- QDWH's tall
-    # (2b x b) QR steps lose little to single-stage masking.  Only the
-    # untouched default is overridden; an explicit scan_stages wins.
-    if n >= 3072 and config.scan_stages == DEFAULT_CONFIG.scan_stages:
-        config = config.replace(scan_stages=1)
+    config = _route_large_n(n, config)
     return _eigh_onchip(A, config, base_n + (base_n % 2), max_sweeps)
+
+
+def _route_large_n(n: int, config: QRConfig) -> QRConfig:
+    """Large-n compile-size routing (measured r4, docs/PERF.md "eigh
+    routing"): each D&C bucket embeds a blocked-QR program per QDWH
+    step, and its graph size scales with scan_stages; at n >= 3072 the
+    default 4-stage driver lowers to a ~7 MB MLIR module that remote
+    AOT compile helpers resource-kill.  The single-stage driver
+    compiles (2303 s) and runs 2485 ms at 4096^2 -- QDWH's tall
+    (2b x b) QR steps lose little to single-stage masking.  Only the
+    untouched default is overridden; an explicit scan_stages wins."""
+    if n >= 3072 and config.scan_stages == DEFAULT_CONFIG.scan_stages:
+        return config.replace(scan_stages=1)
+    return config
 
 
 def eigh_batched(As, max_sweeps: int = 30):

@@ -163,3 +163,17 @@ def test_svd_qdwh_eigh_routing(rng):
     assert (np.diff(s) <= 1e-6).all()
     with pytest.raises(ValueError):
         ctq.svd(A, eigh_impl="nope")
+
+
+def test_large_n_compile_routing():
+    """n >= 3072 with the untouched default scan_stages routes to the
+    single-stage QR driver (compile-cap fix, docs/PERF.md); explicit
+    configs are never overridden."""
+    from cuda_qr_tpu.models.eigh import _route_large_n
+    from cuda_qr_tpu.utils.config import DEFAULT_CONFIG
+
+    assert _route_large_n(4096, DEFAULT_CONFIG).scan_stages == 1
+    assert _route_large_n(2048, DEFAULT_CONFIG).scan_stages == \
+        DEFAULT_CONFIG.scan_stages
+    explicit = DEFAULT_CONFIG.replace(scan_stages=8)
+    assert _route_large_n(4096, explicit).scan_stages == 8
