@@ -453,6 +453,46 @@ def extras_eigh(quick: bool):
             "backend": jax.default_backend()}
 
 
+def extras_eigh_large(quick: bool):
+    """In-house eigh at the compile-cap boundary (n=4096) vs jnp.linalg.eigh
+    on the same matrix: the routing-rule evidence (docs/PERF.md "eigh
+    routing") as a driver-reproducible row.  Uses the explicit
+    scan_stages=1 config the large-n router selects."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cuda_qr_tpu.models.eigh import eigh
+    from cuda_qr_tpu.utils.config import QRConfig
+    from cuda_qr_tpu.utils.timing import bench
+
+    n = 512 if quick else 4096
+    cfg = QRConfig(dtype=jnp.float32, scan_stages=1)
+    rng = np.random.default_rng(7)
+    G = rng.standard_normal((n, n)).astype(np.float32)
+    S = (G + G.T) / np.sqrt(2 * n)
+    Sd = jnp.asarray(S)
+    r_own = bench(lambda a: eigh(a, cfg), Sd, reps=5)
+    r_xla = bench(jax.jit(jnp.linalg.eigh), Sd, reps=10)
+    w, V = eigh(Sd, cfg)
+    w64, V64 = np.asarray(w, np.float64), np.asarray(V, np.float64)
+    S64 = S.astype(np.float64)
+    resid = float(np.linalg.norm(S64 @ V64 - V64 * w64[None, :])
+                  / np.linalg.norm(S64))
+    orth = float(np.linalg.norm(V64.T @ V64 - np.eye(n)))
+    werr = float(np.abs(np.sort(w64) - np.linalg.eigvalsh(S64)).max()
+                 / np.abs(w64).max())
+    return {"config": f"x11: eigh {n}^2 in-house (scan_stages=1 routing) "
+                      "vs jnp.linalg.eigh",
+            "own_net_ms": round(r_own.steady_net_s * 1e3, 1),
+            "xla_net_ms": round(r_xla.steady_net_s * 1e3, 1),
+            "ratio": round(r_own.steady_net_s / r_xla.steady_net_s, 2),
+            "rtt_ms": round(r_own.rtt_s * 1e3, 1),
+            "residual": float(f"{resid:.3e}"),
+            "orthogonality": float(f"{orth:.3e}"),
+            "eigval_rel_err": float(f"{werr:.3e}"),
+            "backend": jax.default_backend()}
+
+
 def extras_bf16(quick: bool):
     """True bf16 END-TO-END factorization (dtype=bfloat16 through storage,
     panels upcast internally, bf16 trailing) + one fp32 CholeskyQR
@@ -619,6 +659,7 @@ def _registry(quick: bool):
         ("x8", lambda: extras_eigh(quick)),
         ("x9", lambda: extras_bf16(quick)),
         ("x10", lambda: extras_host_to_host(quick)),
+        ("x11", lambda: extras_eigh_large(quick)),
     ]
 
 
