@@ -1,4 +1,21 @@
-"""Headline benchmark: blocked QR GFLOP/s at 8192x8192 fp32 on one chip.
+"""Headline benchmark: certified-MIXED blocked QR at 8192x8192 fp32, one chip.
+
+Headline mode (r5): MIXED -- panel factorization at HIGHEST (bf16x6 fp32
+emulation; V/T quality bounds Q's orthogonality), trailing-update GEMMs at
+HIGH (bf16x3, ~2x MXU rate).  Certificate (docs/PERF.md "Precision-mode
+certificate"): the trailing update adds ONE bf16x3-rounded GEMM term per
+panel application to R's backward error only, so the residual stays well
+under the n*eps acceptance bound while orthogonality is unchanged from
+HIGHEST.  BOTH bounds are measured and gated here every run: residual <
+n*eps AND orthogonality < n*eps*4 -- the same bounds utils/verify.py
+enforces for full-precision fp32.  The full-precision HIGHEST factor is
+kept as a gated control phase.
+
+reps=30 on TPU (r5): the timed loop queues reps calls and forces one
+scalar, so each rep carries ~RTT/reps of tunnel latency -- at reps=10 and
+RTT ~100 ms that inflated the captured raw number by ~10 ms/call
+(docs/PERF.md "dispatch-floor illusion"); reps=30 matches the sweep
+discipline every README number uses.
 
 Baseline: the best vendor-library number in BASELINE.md -- MAGMA
 magma_sgeqrf2_gpu at 4096^2 fp32 = 299 GFLOP/s (timing.txt:23; the
@@ -7,12 +24,11 @@ beat MAGMA's throughput; the reference's own kernel is ~80x below that.
 
 Timeout-proofing (round 2 ran out of clock and recorded NOTHING): the
 record is emitted incrementally -- one complete JSON line right after the
-first measurement, then a richer line after each later phase (Q+R timing,
-residual verification, Mosaic kernel smoke).  Whoever parses the LAST
-complete JSON line on stdout always gets the best available record, even
-if the process is killed mid-phase.  A soft deadline skips the remaining
-phases when the tunnel is degraded, so the process exits cleanly with a
-partial record instead of being killed with a full one unprinted.
+first measurement, then a richer line after each later phase.  Whoever
+parses the LAST complete JSON line on stdout always gets the best available
+record, even if the process is killed mid-phase.  A soft deadline skips the
+remaining phases when the tunnel is degraded, so the process exits cleanly
+with a partial record instead of being killed with a full one unprinted.
 """
 
 import json
@@ -65,12 +81,19 @@ def main():
         m = n = 512
     # 32 stages x lookahead 4 at 8192^2 (k=64 panels): each stage holds 2
     # panels, so every trailing update runs at its EXACT stage width (the
-    # kg==g path) and the masked-width waste of coarse stages vanishes.
-    # Same-day reps=30 sweep (benchmarks/sweep_r4.py, docs/PERF.md r4):
-    # s32_g4 38.6 ms > s16_g4 39.6 > s16_g8 39.4 > s8_g8 41.9 -- the r3
-    # reps=10 flip to s8_g8 did not replicate at reps=30.
+    # kg==g path).  reps=30 ladder: s32_g4 38.6 ms > s16_g4 39.6 > s16_g8
+    # 39.4 > s8_g8 41.9 (benchmarks/sweep_r4.py, docs/PERF.md r4).
     cfg = QRConfig(dtype=jnp.float32, scan_stages=32 if on_tpu else 8,
                    factor_lookahead=4)
+    # The certified throughput mode: trailing GEMMs at HIGH.  The MIXED
+    # stage-ladder optimum is COARSER than HIGHEST's s32 (sweep_r5,
+    # 2026-08-21, reps=30: mixed s16_g4 26.27 ms raw / 22.54 net beats
+    # mixed s32_g4 28.26 / 24.74): with trailing at 2x rate, per-stage
+    # fixed costs weigh double, so the ladder optimum shifts down.
+    mcfg = QRConfig(dtype=jnp.float32, scan_stages=16 if on_tpu else 8,
+                    factor_lookahead=4,
+                    trailing_precision=jax.lax.Precision.HIGH)
+    reps = 30 if on_tpu else 3
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     eps = float(jnp.finfo(jnp.float32).eps)
@@ -79,17 +102,34 @@ def main():
     # number in BASELINE.md (no cuSOLVER 8192^2 figure was ever published
     # by the reference; its own MMQR reaches 3.77 GFLOP/s)
 
+    H = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def q_and_r(fac):
+        # orgqr runs at HIGHEST under BOTH configs (MIXED keeps Q-formation
+        # at full precision by design, utils/config.py), so one compiled
+        # program serves the mixed and control factors alike.
+        return orgqr(fac, m, n, cfg), extract_r(fac, n)
+
+    @jax.jit
+    def residuals(A, Q, R):
+        resid = jnp.linalg.norm(
+            jnp.einsum("ij,jk->ik", Q, R, precision=H) - A
+        ) / jnp.linalg.norm(A)
+        orth = jnp.linalg.norm(
+            jnp.einsum("ij,ik->jk", Q, Q, precision=H) -
+            jnp.eye(n, dtype=A.dtype))
+        return resid, orth
+
     # ---- Phase 0: insurance rung.  A 1024^2 record costs ~1 min even
-    # through a degraded tunnel; the 8192^2 factor program costs 23-32 min
-    # to compile OR cache-load (227 MB entry -- docs/PERF.md r3 table), so
-    # without this rung any harness timeout below that records nothing
-    # (round 2's failure mode).  The later phases overwrite this line. ----
+    # through a degraded tunnel; each 8192^2 factor program costs minutes
+    # to tens of minutes to compile OR cache-load through the tunnel
+    # (docs/PERF.md "Compile economics"), so without this rung any harness
+    # timeout below that records nothing (round 2's failure mode).  The
+    # later phases overwrite this line. ----
     if on_tpu:
         ms = 1024
         As = jnp.asarray(rng.standard_normal((ms, ms)).astype(np.float32))
-        # reps=10: reps are queued asynchronously and forced once, so a
-        # degraded tunnel's RTT amortizes to RTT/reps per call -- at reps=3
-        # a slow day adds ~10-30 ms/call to every "steady" number.
         rs = bench(lambda a: qr_blocked(a, QRConfig(dtype=jnp.float32,
                                                     scan_stages=4)),
                    As, reps=10, flops=qr_flops(ms, ms))
@@ -109,87 +149,102 @@ def main():
         del As
         RECORD.pop("note")
 
-    # ---- Phase 1: factor-only headline.  Emitted the moment it exists. ----
-    # Guard: the 8192^2 compile costs ~270 s on a healthy tunnel; if the
+    # ---- Phase 1: certified-MIXED factor headline + its accuracy gates.
+    # Guard: each 8192^2 compile costs ~270 s on a healthy tunnel; if the
     # insurance rung already ate most of the budget (measured 2026-08-20: a
     # degraded tunnel took 1472 s to compile the 1024^2 program), exit
     # CLEANLY with the insurance record instead of being watchdog-killed
-    # mid-compile.
+    # mid-compile. ----
     if on_tpu and time_left() < 300:
         RECORD["skipped_after"] = "insurance"
         emit()
         return 0
-    r = bench(lambda a: qr_blocked(a, cfg), A, reps=10 if on_tpu else 3,
+    r = bench(lambda a: qr_blocked(a, mcfg), A, reps=reps,
               flops=qr_flops(m, n))
     RECORD.update({
         "metric": f"qr_gflops_{m}x{n}_fp32",
         "value": round(r.gflops, 1),
         "unit": "GFLOP/s",
         "vs_baseline": round(r.gflops / baseline_gflops, 2),
+        "precision_mode": "mixed_certified (panels HIGHEST, trailing "
+                          "bf16x3; resid and orth gated below)",
         "steady_ms": round(r.steady_s * 1e3, 1),
         # device-time estimate with the forced-sync tunnel RTT share
         # removed (utils/timing.py steady_net_s); steady_ms stays the
         # conservative headline
         "steady_net_ms": round(r.steady_net_s * 1e3, 1),
         "rtt_ms": round(r.rtt_s * 1e3, 1),
+        "reps": reps,
         "compile_s": round(r.compile_s, 1),
         "backend": jax.default_backend(),
     })
     emit()
 
-    # ---- Phase 2: + explicit Q.  The Q+R number comparable to XLA's
-    # jnp.linalg.qr is reported as the SUM of the factor and orgqr programs
-    # (orgqr consumes the complete factorization, so a fused program cannot
-    # overlap them -- measured round 2: fused 88-91 ms vs 71-76 + ~16 ms
-    # parts).  Summing avoids compiling the factor pipeline a SECOND time
-    # inside a fused jit: each 8192^2 executable costs minutes through the
-    # remote-compile tunnel, and round 2's bench died exactly there. ----
-    if time_left() < 60:
-        RECORD["skipped_after"] = "factor"
-        emit()
-        return 0
-
-    fac = qr_blocked(A, cfg)
-
-    @jax.jit
-    def q_and_r(fac):
-        return orgqr(fac, m, n, cfg), extract_r(fac, n)
-
-    r_q = bench(q_and_r, fac, reps=10 if on_tpu else 3)
-    RECORD["q_plus_r_ms"] = round((r.steady_s + r_q.steady_s) * 1e3, 1)
-    RECORD["q_plus_r_net_ms"] = round(
-        (r.steady_net_s + r_q.steady_net_s) * 1e3, 1)
-    RECORD["q_plus_r_form"] = "factor+orgqr program sum"
-    RECORD["q_plus_r_compile_s"] = round(r_q.compile_s, 1)
-    emit()
-
-    # ---- Phase 3: always-on verification (the reference shipped its check
-    # commented out, qr.cu:822-850).  Norms are computed on-device at
-    # HIGHEST matmul precision and fetched as scalars: pulling full matrices
-    # through the host link would dominate the bench wall-clock.  Q/R enter
-    # as ARGUMENTS rather than by calling q_and_r inside the jit: inlining
-    # would compile the whole factor+orgqr pipeline a third time. ----
+    # Accuracy gates for the headline (always-on verification -- the
+    # reference shipped its check commented out, qr.cu:822-850).  Norms are
+    # computed on-device at HIGHEST precision and fetched as scalars:
+    # pulling full matrices through the host link would dominate wall-clock.
     verified_ok = None
-    if time_left() >= 60:
-        H = jax.lax.Precision.HIGHEST
-
-        @jax.jit
-        def residuals(A, Q, R):
-            resid = jnp.linalg.norm(
-                jnp.einsum("ij,jk->ik", Q, R, precision=H) - A
-            ) / jnp.linalg.norm(A)
-            orth = jnp.linalg.norm(
-                jnp.einsum("ij,ik->jk", Q, Q, precision=H) -
-                jnp.eye(n, dtype=A.dtype))
-            return resid, orth
-
-        Qh, Rh = q_and_r(fac)
-        resid, orth = (float(x) for x in residuals(A, Qh, Rh))
-        del Qh, Rh
-        verified_ok = resid < n * eps
+    if time_left() >= 120 or not on_tpu:
+        fac = qr_blocked(A, mcfg)
+        Qm, Rm = q_and_r(fac)
+        resid, orth = (float(x) for x in residuals(A, Qm, Rm))
+        del fac, Qm, Rm
+        verified_ok = (resid < n * eps) and (orth < n * eps * 4)
         RECORD["residual"] = float(f"{resid:.3e}")
         RECORD["orthogonality"] = float(f"{orth:.3e}")
         RECORD["verified_ok"] = verified_ok
+        emit()
+    else:
+        RECORD["skipped_after"] = "mixed_factor"
+        emit()
+        return 0
+
+    # ---- Phase 2: full-precision HIGHEST control factor (the r4 headline
+    # config), gated on the same bounds. ----
+    highest_ok = None
+    if on_tpu and time_left() < 300:
+        RECORD["skipped_after"] = "mixed_verified"
+        emit()
+        return 0
+    rh = bench(lambda a: qr_blocked(a, cfg), A, reps=reps,
+               flops=qr_flops(m, n))
+    RECORD["highest_ms"] = round(rh.steady_s * 1e3, 1)
+    RECORD["highest_net_ms"] = round(rh.steady_net_s * 1e3, 1)
+    RECORD["highest_gflops"] = round(rh.gflops, 1)
+    RECORD["highest_compile_s"] = round(rh.compile_s, 1)
+    emit()
+
+    # ---- Phase 3: + explicit Q on the HIGHEST factors.  The Q+R number
+    # comparable to XLA's jnp.linalg.qr is reported as the SUM of the
+    # factor and orgqr programs (orgqr consumes the complete factorization,
+    # so a fused program cannot overlap them -- measured round 2: fused
+    # 88-91 ms vs 71-76 + ~16 ms parts).  Summing avoids compiling the
+    # factor pipeline a SECOND time inside a fused jit: each 8192^2
+    # executable costs minutes through the remote-compile tunnel, and
+    # round 2's bench died exactly there. ----
+    if time_left() < 60:
+        RECORD["skipped_after"] = "highest_factor"
+        emit()
+        return 0
+
+    fach = qr_blocked(A, cfg)
+    r_q = bench(q_and_r, fach, reps=reps)
+    RECORD["q_plus_r_ms"] = round((rh.steady_s + r_q.steady_s) * 1e3, 1)
+    RECORD["q_plus_r_net_ms"] = round(
+        (rh.steady_net_s + r_q.steady_net_s) * 1e3, 1)
+    RECORD["q_plus_r_form"] = "factor+orgqr program sum (HIGHEST)"
+    RECORD["q_plus_r_compile_s"] = round(r_q.compile_s, 1)
+    emit()
+
+    if time_left() >= 60:
+        Qh, Rh = q_and_r(fach)
+        residh, orthh = (float(x) for x in residuals(A, Qh, Rh))
+        del Qh, Rh, fach
+        highest_ok = (residh < n * eps) and (orthh < n * eps * 4)
+        RECORD["highest_residual"] = float(f"{residh:.3e}")
+        RECORD["highest_orthogonality"] = float(f"{orthh:.3e}")
+        RECORD["highest_ok"] = highest_ok
         emit()
     else:
         RECORD["skipped_after"] = "q_plus_r"
@@ -207,7 +262,6 @@ def main():
         gcfg = QRConfig(dtype=jnp.float32, panel_method="geqrt",
                         scan_stages=1)
         Ag = jnp.asarray(rng.standard_normal((gm, gn)).astype(np.float32))
-        H = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def geqrt_resid_fn(Ag):
@@ -224,30 +278,7 @@ def main():
         RECORD["geqrt_mosaic_ok"] = geqrt_ok
         emit()
 
-    # ---- Phase 5: MIXED trailing (bf16x3) factor -- the throughput mode.
-    # Panel math stays HIGHEST (orthogonality unchanged); only the trailing
-    # GEMMs run at HIGH.  Sweep data: docs/PERF.md "r3 sweep". ----
-    if on_tpu and time_left() >= 60:
-        mcfg = cfg.replace(trailing_precision=jax.lax.Precision.HIGH)
-        rm = bench(lambda a: qr_blocked(a, mcfg), A, reps=10,
-                   flops=qr_flops(m, n))
-        facm = qr_blocked(A, mcfg)
-        Qm, Rm = q_and_r(facm)
-        residm, orthm = (float(x) for x in residuals(A, Qm, Rm))
-        del facm, Qm, Rm
-        RECORD["mixed_ms"] = round(rm.steady_s * 1e3, 1)
-        RECORD["mixed_net_ms"] = round(rm.steady_net_s * 1e3, 1)
-        RECORD["mixed_gflops"] = round(rm.gflops, 1)
-        RECORD["mixed_residual"] = float(f"{residm:.3e}")
-        RECORD["mixed_orthogonality"] = float(f"{orthm:.3e}")
-        # MIXED keeps panel math at HIGHEST (V/T quality bounds Q), so its
-        # orthogonality must meet the same n*eps*4 bound utils/verify.py
-        # enforces for full-precision runs; only the residual is allowed to
-        # ride bf16x3 trailing rounding up to n*eps.
-        RECORD["mixed_ok"] = (residm < n * eps) and (orthm < n * eps * 4)
-        emit()
-
-    # ---- Phase 6: true bf16 END-TO-END factor (dtype=bfloat16 storage +
+    # ---- Phase 5: true bf16 END-TO-END factor (dtype=bfloat16 storage +
     # trailing; panels upcast internally) + one fp32 CholeskyQR refinement
     # of Q.  Published with BOTH metrics: refinement recovers fp32-grade
     # orthogonality, the residual stays at bf16 backward-error scale (a
@@ -260,9 +291,8 @@ def main():
         A32 = jnp.asarray(rng.standard_normal((nb16, nb16))
                           .astype(np.float32))
         Ab = A32.astype(jnp.bfloat16)
-        rb = bench(lambda a: qr_blocked(a, bcfg), Ab, reps=10,
+        rb = bench(lambda a: qr_blocked(a, bcfg), Ab, reps=reps,
                    flops=qr_flops(nb16, nb16))
-        H = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def bf16_metrics(Ab, A32):
@@ -302,7 +332,8 @@ def main():
                                  and ref_res < 8 * 2.0 ** -8)
         emit()
 
-    ok = (verified_ok is not False) and (geqrt_ok is not False)
+    ok = (verified_ok is not False) and (highest_ok is not False) \
+        and (geqrt_ok is not False)
     return 0 if ok else 1
 
 

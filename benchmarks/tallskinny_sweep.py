@@ -1,10 +1,12 @@
-"""Tall-skinny M x 64 sweep mirroring the reference's timing.txt:1-13.
+"""Tall-skinny M x 64 ladder mirroring the reference's timing.txt:1-13.
 
 Row-for-row comparison against the reference's published MMQR and MAGMA
-times (BASELINE.md; hand-recorded from qr.cu:789,805).  Reference times
-include cudaMalloc + H2D/D2H inside mmqr (qr.cu:493-498); ours are
-steady-state on-device (compile and transfer reported separately), which is
-the honest production number -- the factorization is resident either way.
+times (BASELINE.md; hand-recorded from qr.cu:789,805), extended past the
+reference's largest M (131072) up to 2^20, plus an n=128 column at the
+extended sizes.  Reference times include cudaMalloc + H2D/D2H inside mmqr
+(qr.cu:493-498); ours are steady-state on-device at reps=30 with the
+net-of-RTT column (compile and transfer reported separately), which is the
+honest production number -- the factorization is resident either way.
 
 Prints one JSON line per size with the speedup columns, then a summary.
 """
@@ -28,6 +30,11 @@ REFERENCE = {
     65536: (4.396491, 0.113676),
     131072: (8.793325, 0.249329),
 }
+# Past the reference's table: the scaling-in-M story (flat device time vs
+# the reference's perfectly linear blowup) out to 2^20, and the wider
+# n=128 column at the extended sizes.
+EXTENDED = [(262144, 64), (524288, 64), (1048576, 64),
+            (262144, 128), (524288, 128), (1048576, 128)]
 
 
 def main():
@@ -46,29 +53,35 @@ def main():
     if jax.default_backend() != "tpu":
         print("needs the real TPU", file=sys.stderr)
         return 1
-    n = 64
     cfg = QRConfig(dtype=jnp.float32, tsqr_leaf="cholqr2")
     rng = np.random.default_rng(12)
     worst = 0.0
-    sizes = [m for m in REFERENCE if len(sys.argv) < 2
-             or str(m) in sys.argv[1:]]
-    for m in sizes:
+    cases = [(m, 64) for m in REFERENCE] + EXTENDED
+    if len(sys.argv) > 1:
+        cases = [(m, n) for (m, n) in cases if str(m) in sys.argv[1:]]
+    for m, n in cases:
         A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
-        r = bench(lambda a: tsqr(a, cfg), A, reps=3, flops=qr_flops(m, n))
+        r = bench(lambda a: tsqr(a, cfg), A, reps=30, flops=qr_flops(m, n))
         Q, R = tsqr(A, cfg)
         chk = check_qr(np.asarray(A), np.asarray(Q), np.asarray(R))
+        del Q, R
         worst = max(worst, chk.residual)
-        mm, mg = REFERENCE[m]
-        print(json.dumps({
+        rec = {
             "m": m, "n": n, "steady_ms": round(r.steady_s * 1e3, 3),
+            "steady_net_ms": round(r.steady_net_s * 1e3, 3),
+            "rtt_ms": round(r.rtt_s * 1e3, 1), "reps": 30,
             "gflops": round(r.gflops, 1),
-            "vs_mmqr": round(mm / r.steady_s, 0),
-            "vs_magma": round(mg / r.steady_s, 0),
+            "net_gflops": round(r.net_gflops, 1),
             "residual": float(f"{chk.residual:.3e}"),
             "ok": chk.ok,
             "compile_s": round(r.compile_s, 1),
-        }), flush=True)
-    print(json.dumps({"summary": "tallskinny_Mx64", "worst_residual":
+        }
+        if n == 64 and m in REFERENCE:
+            mm, mg = REFERENCE[m]
+            rec["vs_mmqr"] = round(mm / r.steady_s, 0)
+            rec["vs_magma"] = round(mg / r.steady_s, 0)
+        print(json.dumps(rec), flush=True)
+    print(json.dumps({"summary": "tallskinny_ladder", "worst_residual":
                       float(f"{worst:.3e}")}), flush=True)
     return 0
 

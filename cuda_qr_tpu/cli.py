@@ -511,10 +511,13 @@ def cmd_dist(args):
                 rec |= {"residual": resid, "orthogonality": orth,
                         "ok": resid < k * eps and orth < k * eps}
         else:
-            r = bench(lambda a: svd_dist(a, mesh, config=cfg)[0], Aj,
+            r = bench(lambda a: svd_dist(a, mesh, config=cfg,
+                                         eigh_impl=args.eigh_impl)[0], Aj,
                       reps=args.trials)
+            rec["eigh_impl"] = args.eigh_impl
             if not args.no_verify:
-                Us, ss, Vh = svd_dist(Aj, mesh, config=cfg)
+                Us, ss, Vh = svd_dist(Aj, mesh, config=cfg,
+                                      eigh_impl=args.eigh_impl)
                 Us = np.asarray(Us, np.float64)
                 ss = np.asarray(ss, np.float64)
                 Vh = np.asarray(Vh, np.float64)
@@ -709,7 +712,11 @@ def main(argv=None):
     p.add_argument("--stage-schedule", type=str, default=None,
                    help="comma-separated panels-per-stage (overrides "
                         "--stages; must sum to the panel count), e.g. "
-                        "2,2,2,8 -- see QRConfig.stage_schedule")
+                        "2,2,2,8 -- see QRConfig.stage_schedule. Only "
+                        "applies to direct QR factorization subcommands "
+                        "(factor/tsqr/compare): composite solvers run "
+                        "internal QRs whose panel counts the schedule "
+                        "cannot match")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, np_ in [("factor", 2), ("tsqr", 2), ("compare", 2)]:
         sp = sub.add_parser(name)
@@ -779,7 +786,17 @@ def main(argv=None):
     sp.add_argument("--rank", type=int, default=16)
     sp.add_argument("--iters", type=int, default=2)
     sp.add_argument("--decay", type=float, default=0.8)
+    sp.add_argument("--eigh-impl", choices=("xla", "qdwh"), default="xla",
+                    help="Hermitian eigensolver for `dist svd` (xla = "
+                         "jnp.linalg.eigh; qdwh = the in-house QDWH-eig "
+                         "D&C -- see docs/PERF.md 'eigh routing')")
     args = p.parse_args(argv)
+    if args.stage_schedule and args.cmd not in ("factor", "tsqr", "compare"):
+        # ADVICE r4: composite solvers (eigh/svd/polar/...) run internal
+        # QRs at their own panel counts; a user schedule cannot sum to all
+        # of them and would raise an unrelated trace-time error deep inside.
+        p.error("--stage-schedule only applies to the direct QR "
+                "factorization subcommands (factor/tsqr/compare)")
     if args.platform == "cpu":  # "tpu" = default platform priority
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -289,20 +289,32 @@ def _invariant_bases(P, Hblk, b, rank, config: QRConfig):
                     precision=prec)
         return V1, V2, jnp.linalg.norm(E).astype(rdt)
 
-    V1, V2, err = qr_split(X0)
-
+    # Do-first loop with ONE qr_split call site: the complete-QR subgraph
+    # is the largest object in this function, and inner-jit functions are
+    # NOT deduplicated across call sites in the lowered module (measured
+    # r5: the old init-call + body-call form doubled every per-bucket
+    # panel-function instance -- docs/PERF.md "eigh compile size").
+    # Iteration sequence is identical: qr_split(X0), then qr_split(P V1)
+    # only while the certificate demands it (at most 3 total).
     def body(st):
-        V1, _, it, _ = st
-        X = _einsum("ik,kj->ij", P, V1, precision=prec)
+        X, V1, V2, it, err = st
         V1, V2, err = qr_split(X)
-        return V1, V2, it + 1, err
+        it = it + 1
+        # next iterate, prepared only if another round will run
+        Xn = jax.lax.cond(
+            jnp.logical_and(err > thresh, it < 3),
+            lambda: _einsum("ik,kj->ij", P, V1, precision=prec),
+            lambda: X)
+        return Xn, V1, V2, it, err
 
     def cond(st):
-        _, _, it, err = st
-        return jnp.logical_and(err > thresh, it < 2)
+        _, _, _, it, err = st
+        return jnp.logical_or(it == 0,
+                              jnp.logical_and(err > thresh, it < 3))
 
-    V1, V2, _, _ = jax.lax.while_loop(
-        cond, body, (V1, V2, jnp.int32(0), err))
+    _, V1, V2, _, _ = jax.lax.while_loop(
+        cond, body, (X0, jnp.zeros_like(P), jnp.zeros_like(P),
+                     jnp.int32(0), jnp.asarray(jnp.inf, rdt)))
     return V1, V2
 
 
@@ -356,19 +368,26 @@ def _split_node(Hblk, b, config: QRConfig):
         k = jnp.round(jnp.trace((I_m - U) * 0.5).real).astype(jnp.int32)
         return U, k
 
-    U0, k0 = try_cand(jnp.int32(0))
-
+    # Do-first retry loop with ONE try_cand call site (the QDWH polar
+    # subgraph -- by far the largest object in the split node -- used to be
+    # instantiated twice, once for the initial candidate and once in the
+    # retry body; inner-jit functions are not deduplicated across call
+    # sites, so this halves the per-bucket module size).  Candidate order
+    # (0, then 1..3 while the split is degenerate) is unchanged.
     def retry_cond(st):
         i, _, k = st
-        return jnp.logical_and(jnp.logical_or(k <= 0, k >= b), i < 4)
+        return jnp.logical_or(
+            i == 0,
+            jnp.logical_and(jnp.logical_or(k <= 0, k >= b), i < 4))
 
     def retry_body(st):
         i, _, _ = st
         U, k = try_cand(i)
         return i + 1, U, k
 
-    _, U, k = jax.lax.while_loop(retry_cond, retry_body,
-                                 (jnp.int32(1), U0, k0))
+    _, U, k = jax.lax.while_loop(
+        retry_cond, retry_body,
+        (jnp.int32(0), jnp.zeros_like(Hblk), jnp.int32(0)))
     ok = jnp.logical_and(k > 0, k < b)
     k = jnp.clip(k, 1, jnp.maximum(b - 1, 1))  # shape-safe when not ok
     P_minus = (I_m - U) * 0.5
@@ -536,6 +555,13 @@ def eigh(A, config: QRConfig = DEFAULT_CONFIG, *, base_n: int = 128,
     bucket: direct-path (n <= base_n) Jacobi blocks are padded up to
       multiples of this (default min(base_n, 64)), bounding the set of
       compiled Jacobi shapes.
+
+    Config routing (docs/PERF.md "eigh routing"): the internal QDWH /
+    subspace QRs run at their own panel counts per D&C bucket, so a
+    caller-set ``stage_schedule`` cannot apply and is stripped; and at
+    n >= 3072 an untouched default ``scan_stages`` is rerouted to 1 to
+    keep the per-bucket QR graphs under remote-compile resource caps (an
+    explicitly non-default ``scan_stages`` is honored as set).
     """
     A = to_device(A)
     if A.ndim != 2 or A.shape[0] != A.shape[1]:
@@ -563,7 +589,13 @@ def _route_large_n(n: int, config: QRConfig) -> QRConfig:
     AOT compile helpers resource-kill.  The single-stage driver
     compiles (2303 s) and runs 2485 ms at 4096^2 -- QDWH's tall
     (2b x b) QR steps lose little to single-stage masking.  Only the
-    untouched default is overridden; an explicit scan_stages wins."""
+    untouched default is overridden; an explicit scan_stages wins.
+
+    stage_schedule is ALWAYS stripped (ADVICE r4): each D&C bucket runs
+    internal QRs with its own panel count, so no caller schedule can sum
+    to all of them -- it would raise an unrelated error at trace time."""
+    if config.stage_schedule is not None:
+        config = config.replace(stage_schedule=None)
     if n >= 3072 and config.scan_stages == DEFAULT_CONFIG.scan_stages:
         return config.replace(scan_stages=1)
     return config

@@ -136,8 +136,16 @@ def _cholqr2_direct(A: jnp.ndarray, config: QRConfig):
 
     m, n = A.shape
     prec = config.precision
+    # The two FULL-HEIGHT GEMMs (the Gram pass and the Q pass -- all of the
+    # O(m n^2) work) honor trailing_precision, mirroring the blocked
+    # driver's MIXED mode: at HIGHEST (bf16x6) they are compute-bound ~2x
+    # over the pure-bandwidth bound, at HIGH (bf16x3) they return to
+    # HBM-bound (docs/PERF.md "TSQR speed of light").  All n x n math
+    # (Cholesky chains, G2, R assembly) stays at `precision`, and the
+    # emax/cond-proxy certificates below gate the result either way.
+    gprec = config.resolved_trailing_precision()
     dtype = A.dtype
-    G = jnp.einsum("ri,rj->ij", A, A, precision=prec)          # pass 1
+    G = jnp.einsum("ri,rj->ij", A, A, precision=gprec)         # pass 1
     L1, L1i = cholesky_with_inv(G, prec)
     G2 = jnp.einsum("ij,jk,lk->il", L1i, G, L1i, precision=prec)
     E = G2 - jnp.eye(n, dtype=dtype)
@@ -153,7 +161,7 @@ def _cholqr2_direct(A: jnp.ndarray, config: QRConfig):
         emax < tol, taylor,
         lambda E: cholesky_with_inv(E + jnp.eye(n, dtype=dtype), prec), E)
     Rinv = jnp.einsum("ji,kj->ik", L1i, L2i, precision=prec)   # L1i^T L2i^T
-    Q = jnp.einsum("rj,jk->rk", A, Rinv, precision=prec)       # pass 2
+    Q = jnp.einsum("rj,jk->rk", A, Rinv, precision=gprec)      # pass 2
     R = jnp.einsum("ji,kj->ik", L2, L1, precision=prec)        # L2^T L1^T
     R = jnp.triu(R)  # exact zeros below the diagonal (products are upper)
     # Fall back on breakdown, large round-1 defect, or a cond(A) proxy (the

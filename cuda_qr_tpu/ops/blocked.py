@@ -372,6 +372,12 @@ def qr_blocked(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG) -> PackedQR:
     if m < n:
         from ..utils.errors import QRShapeError
         raise QRShapeError(f"qr_blocked requires m >= n, got {m}x{n}")
+    if config.stage_schedule is not None and config.driver != "scan":
+        # ADVICE r4: without this, a schedule is silently ignored by the
+        # unrolled driver (and a mis-summed one never even gets validated).
+        raise ValueError(
+            f"stage_schedule is a scan-driver knob; driver={config.driver!r} "
+            "ignores it (use driver='scan' or drop the schedule)")
     if jnp.iscomplexobj(A):
         # Complex QR (LAPACK cgeqrf semantics): the Householder core
         # (geqr2/larft/larfb) is Hermitian-transpose aware; the CholeskyQR2

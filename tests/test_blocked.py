@@ -272,3 +272,13 @@ def test_stage_schedule_validation(rng):
                    stage_schedule=(2, 1))  # sums to 3, k = 4
     with pytest.raises(ValueError, match="stage_schedule"):
         qr_blocked(A, bad)
+
+
+def test_stage_schedule_rejected_by_unrolled_driver(rng):
+    """stage_schedule is a scan-driver knob: the unrolled driver must
+    reject it loudly instead of silently ignoring it (ADVICE r4)."""
+    A = jnp.asarray(rng.standard_normal((64, 64)))
+    cfg = QRConfig(panel_width=16, dtype=jnp.float64, use_pallas=False,
+                   driver="unrolled", stage_schedule=(2, 2))
+    with pytest.raises(ValueError, match="scan-driver"):
+        qr_blocked(A, cfg)

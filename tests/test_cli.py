@@ -117,3 +117,25 @@ def test_cli_dist_svd():
 def test_cli_dist_rejects_short_shards():
     out = run_cli_mesh("dist", "tsqr", "256", "64", "--devices", "8")
     assert out.returncode == 2 and "m/devices" in out.stderr
+
+
+def test_cli_stage_schedule_scoped():
+    """--stage-schedule applies to direct-QR subcommands and is rejected
+    with a clear message elsewhere (ADVICE r4 / VERDICT r4 item 7)."""
+    out = run_cli("--no-pallas", "--dtype", "f64", "--trials", "1",
+                  "--stage-schedule", "1,1", "factor", "256", "256")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"], rec
+    out = run_cli("--no-pallas", "--trials", "1",
+                  "--stage-schedule", "1,3", "svd", "64", "32")
+    assert out.returncode == 2 and "--stage-schedule" in out.stderr
+    out = run_cli("--no-pallas", "--trials", "1",
+                  "--stage-schedule", "1,3", "eigh", "64")
+    assert out.returncode == 2 and "--stage-schedule" in out.stderr
+
+
+def test_cli_dist_svd_eigh_impl():
+    out = run_cli_mesh("dist", "svd", "256", "16", "--devices", "8",
+                       "--eigh-impl", "qdwh")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] and rec["eigh_impl"] == "qdwh", rec

@@ -177,3 +177,17 @@ def test_large_n_compile_routing():
         DEFAULT_CONFIG.scan_stages
     explicit = DEFAULT_CONFIG.replace(scan_stages=8)
     assert _route_large_n(4096, explicit).scan_stages == 8
+
+
+def test_route_large_n_strips_stage_schedule():
+    """A caller stage_schedule can never sum to every internal QDWH/QR
+    panel count, so eigh's routing strips it unconditionally (ADVICE r4),
+    and the scan_stages compile-cap routing still applies afterwards."""
+    from cuda_qr_tpu.models.eigh import _route_large_n
+    from cuda_qr_tpu.utils.config import DEFAULT_CONFIG
+
+    sched = DEFAULT_CONFIG.replace(stage_schedule=(2, 2, 4))
+    routed = _route_large_n(4096, sched)
+    assert routed.stage_schedule is None
+    assert routed.scan_stages == 1
+    assert _route_large_n(512, sched).stage_schedule is None
