@@ -132,13 +132,23 @@ def config3_tsqr(quick: bool):
     Q, R = tsqr(A, cfg)
     resid = float(jnp.linalg.norm(
         jnp.einsum("ij,jk->ik", Q, R, precision=H) - A) / jnp.linalg.norm(A))
-    # speed-of-light floor: the direct 2-pass CholeskyQR2 reads A twice and
-    # writes Q once = 3mn * 4 B of HBM traffic (~1.6 GB here) at ~819 GB/s
-    hbm_bound_ms = 3 * m * n * 4 / 819e9 * 1e3
+    orth = float(jnp.linalg.norm(
+        jnp.einsum("ij,ik->jk", Q, Q, precision=H)
+        - jnp.eye(n, dtype=Q.dtype)))
+    # Speed of light from the r5 trace accounting (docs/PERF.md "TSQR
+    # speed of light"): the Gram pass streams at the fp32 operand-split
+    # feed rate (~360 GB/s, precision-insensitive -- measured), the Q pass
+    # at HBM peak (~819 GB/s), plus ~0.2 ms chol-chain glue.
+    sol_ms = (m * n * 4 / 360e9 + 2 * m * n * 4 / 819e9) * 1e3 + 0.2
+    eps = float(jnp.finfo(jnp.float32).eps)
     return {"config": f"3: TSQR {m}x{n} fp32 (cholqr2 leaves)",
             **_timing(r),
-            "hbm_bound_ms": round(hbm_bound_ms, 2),
+            "sol_ms": round(sol_ms, 2),
             "residual": float(f"{resid:.3e}"),
+            # sqrt(m)*eps floor for Gram-based paths (docs/PERF.md);
+            # n*eps orthogonality needs tsqr_leaf="householder"
+            "orthogonality": float(f"{orth:.3e}"),
+            "orth_ok_sqrt_m": bool(orth < 4 * np.sqrt(m) * eps),
             "backend": jax.default_backend()}
 
 

@@ -66,6 +66,10 @@ def main():
         chk = check_qr(np.asarray(A), np.asarray(Q), np.asarray(R))
         del Q, R
         worst = max(worst, chk.residual)
+        # cholqr2-path orthogonality floors at ~sqrt(m)*eps (fp32 Gram
+        # accumulation, docs/PERF.md); residual stays n*eps-graded
+        eps = float(jnp.finfo(jnp.float32).eps)
+        ok = chk.residual_ok and chk.orthogonality < 4 * np.sqrt(m) * eps
         rec = {
             "m": m, "n": n, "steady_ms": round(r.steady_s * 1e3, 3),
             "steady_net_ms": round(r.steady_net_s * 1e3, 3),
@@ -73,7 +77,8 @@ def main():
             "gflops": round(r.gflops, 1),
             "net_gflops": round(r.net_gflops, 1),
             "residual": float(f"{chk.residual:.3e}"),
-            "ok": chk.ok,
+            "orthogonality": float(f"{chk.orthogonality:.3e}"),
+            "ok": bool(ok),
             "compile_s": round(r.compile_s, 1),
         }
         if n == 64 and m in REFERENCE:

@@ -98,8 +98,11 @@ for name, cfg in CANDIDATES:
         "reps": 30,
         "residual": float(f"{resid:.3e}"),
         "orthogonality": float(f"{orth:.3e}"),
+        # sqrt(m)-aware orthogonality bound: the fp32 Gram accumulation
+        # floor at K = m-deep reductions (docs/PERF.md "orthogonality
+        # floor") -- n*eps*4 is unreachable by ANY Gram-based method here
         "resid_ok": resid < 4 * n * eps,
-        "orth_ok": orth < 4 * n * eps,
+        "orth_ok": orth < 4 * np.sqrt(m) * eps,
         "trace": tr,
         "wall_s": round(time.monotonic() - t0, 1),
     }), flush=True)

@@ -185,6 +185,14 @@ def tsqr(A: jnp.ndarray, config: QRConfig = DEFAULT_CONFIG):
     reflector sign convention); diag(R) is NOT forced positive, matching the
     reference's convention-free verification (it only checks ||QR - A||).
 
+    Accuracy envelope at extreme m/n (docs/PERF.md "orthogonality floor"):
+    with ``tsqr_leaf="cholqr2"`` (the bandwidth-optimal direct two-pass
+    path) the residual is always fp32-grade, but ||Q^T Q - I|| floors at
+    ~sqrt(m)*eps -- the fp32 Gram accumulation error, e.g. ~1-3e-04 at
+    m = 10^6 -- because no second CholeskyQR round can see or remove it.
+    The default ``tsqr_leaf="householder"`` is unconditionally stable with
+    n*eps-class orthogonality at any m.
+
     Differentiable for real full-rank input via the shared thin-QR custom
     VJP (models/qr.py::thin_qr_vjp) -- the tree's lax.cond fallbacks and
     fori loops never appear in the backward graph.
