@@ -39,6 +39,10 @@ TPU-first structural choices:
     pair -- no per-rotation sequential chain (the TPU anti-pattern), just
     (sweeps)x(n-1) GEMM rounds under lax.while_loop/fori_loop, with the
     pair schedule computed on device (_rr_pairs).
+  * Leaf blocks are not solved inside the agenda loop: they are deferred
+    and solved afterwards by ONE vmapped Jacobi over the whole leaf stack
+    -- every rotation round becomes a (leaves, base, base) batched GEMM
+    pair instead of ~N/base separate base^3 GEMM chains (r5).
 
 Accuracy envelope (tested): random symmetric/Hermitian f32 at n <= 512:
 residual ||A V - V diag(w)||_F / ||A||_F and ||V^H V - I||_F both ~ n*eps;
@@ -429,18 +433,42 @@ def _eigh_onchip(A, config: QRConfig, term: int, max_sweeps: int):
     blocks = A
     vecs = jnp.eye(N, dtype=dt)
 
-    def base_case(C, offset, b, stack, blocks, vecs):
-        Hb = _dslice(blocks, (offset, 0), (b, b), (C, C))
-        wl, Vj = _jacobi_eigh(Hb, None, max_sweeps=max_sweeps, sort=False)
-        Vj = _dmask(Vj, (b, b)).astype(dt)
-        V0 = _dslice(vecs, (0, offset), (N, b), (N, C))
-        Vnew = _einsum("ik,kj->ij", V0, Vj, precision=prec)
-        blocks = _dupdate(blocks, wl[:, None].astype(dt), (offset, 0),
-                          (b, 1))
-        vecs = _dupdate(vecs, Vnew, (0, offset), (None, b))
-        return stack, blocks, vecs
+    # Deferred-leaf batching (r5): base-case blocks are only RECORDED
+    # during the agenda loop and solved afterwards by ONE vmapped Jacobi
+    # over a (Lcap, cutoff, cutoff) stack.  Serially, each leaf costs
+    # (sweeps)x(cutoff-1) rounds of tiny cutoff^3 GEMMs -- the single
+    # largest non-QDWH share of the D&C runtime; batched, every round is
+    # one (leaves, cutoff, cutoff) batched GEMM pair.  Lcap bounds the
+    # stack: median splits leave ~N/cutoff x 2 leaves, so 4x that (+8) is
+    # generous; the inline path remains as the overflow backstop.
+    cutoff = min(N + (N % 2), term)
+    Lcap = int(min(N, 4 * (-(-N // cutoff)) + 8))
 
-    def recursive_case(B, offset, b, stack, blocks, vecs):
+    def base_case(C, offset, b, stack, blocks, vecs, leaves):
+        off_a, sz_a, cnt = leaves
+
+        def record(blocks, vecs):
+            return (blocks, vecs,
+                    (off_a.at[cnt].set(offset), sz_a.at[cnt].set(b),
+                     cnt + 1))
+
+        def inline(blocks, vecs):
+            Hb = _dslice(blocks, (offset, 0), (b, b), (C, C))
+            wl, Vj = _jacobi_eigh(Hb, None, max_sweeps=max_sweeps,
+                                  sort=False)
+            Vj = _dmask(Vj, (b, b)).astype(dt)
+            V0 = _dslice(vecs, (0, offset), (N, b), (N, C))
+            Vnew = _einsum("ik,kj->ij", V0, Vj, precision=prec)
+            blocks = _dupdate(blocks, wl[:, None].astype(dt), (offset, 0),
+                              (b, 1))
+            vecs = _dupdate(vecs, Vnew, (0, offset), (None, b))
+            return blocks, vecs, leaves
+
+        blocks, vecs, leaves = jax.lax.cond(cnt < Lcap, record, inline,
+                                            blocks, vecs)
+        return stack, blocks, vecs, leaves
+
+    def recursive_case(B, offset, b, stack, blocks, vecs, leaves):
         Hb = _dslice(blocks, (offset, 0), (b, b), (B, B))
         nrm = jnp.linalg.norm(Hb).astype(rdt)
         dvec = jnp.diagonal(Hb)
@@ -499,13 +527,13 @@ def _eigh_onchip(A, config: QRConfig, term: int, max_sweeps: int):
             return jax.lax.cond(ok, good, jacobi_fallback,
                                 stack, blocks, vecs)
 
-        return jax.lax.cond(done, diag_case, split_case,
-                            stack, blocks, vecs)
+        stack, blocks, vecs = jax.lax.cond(done, diag_case, split_case,
+                                           stack, blocks, vecs)
+        return stack, blocks, vecs, leaves
 
     # Bucketed static sizes: N, then geometrically shrinking (factor ~2,
     # rounded up to 32) down to the termination size, so off-median splits
     # never fall back into the next-larger bucket.
-    cutoff = min(N + (N % 2), term)
     buckets = [cutoff]
     branches = [partial(base_case, cutoff)]
     if N > cutoff:
@@ -521,18 +549,64 @@ def _eigh_onchip(A, config: QRConfig, term: int, max_sweeps: int):
     buckets_arr = jnp.asarray(buckets, jnp.int32)
 
     def loop_body(state):
-        stack, blocks, vecs = state
+        stack, blocks, vecs, leaves = state
         (o, b), stack = pop(stack)
         which = jnp.where(buckets_arr < b, jnp.iinfo(jnp.int32).max,
                           buckets_arr)
         choice = jnp.argmin(which)
-        return jax.lax.switch(choice, branches, o, b, stack, blocks, vecs)
+        return jax.lax.switch(choice, branches, o, b, stack, blocks, vecs,
+                              leaves)
 
     def loop_cond(state):
         return state[0][2] > 0
 
-    _, blocks, vecs = jax.lax.while_loop(loop_cond, loop_body,
-                                         (stack, blocks, vecs))
+    leaves0 = (jnp.zeros(Lcap, jnp.int32), jnp.zeros(Lcap, jnp.int32),
+               jnp.int32(0))
+    _, blocks, vecs, leaves = jax.lax.while_loop(
+        loop_cond, loop_body, (stack, blocks, vecs, leaves0))
+
+    # Batched leaf solve: one vmapped Jacobi over the recorded stack (dead
+    # lanes are zero blocks -- their off-norm is 0, so their while_loop
+    # lanes converge immediately), then a sequential scatter of the
+    # eigenvalues and the N x cutoff back-transform GEMM per live leaf.
+    off_a, sz_a, cnt = leaves
+    C = cutoff
+    Hstk = jax.vmap(
+        lambda o, b: _dslice(blocks, (o, 0), (b, b), (C, C)))(off_a, sz_a)
+    ws_l, Vs_l = jax.vmap(
+        lambda Hb: _jacobi_eigh(Hb, None, max_sweeps=max_sweeps,
+                                sort=False))(Hstk)
+
+    # The scatter loop runs on once-padded carries: a per-leaf _dupdate
+    # would lax.pad the full (N, N) arrays every iteration (O(N^2) HBM
+    # traffic per leaf); here each leaf moves only its own N x C slab.
+    blocks_p = jax.lax.pad(blocks, jnp.asarray(0, dt),
+                           [(0, C, 0), (0, 0, 0)])
+    vecs_p = jax.lax.pad(vecs, jnp.asarray(0, dt), [(0, 0, 0), (0, C, 0)])
+    ciota = jnp.arange(C, dtype=jnp.int32)
+
+    def scatter(i, bv):
+        blocks_p, vecs_p = bv
+        o, b = off_a[i], sz_a[i]
+        Vj = _dmask(Vs_l[i], (b, b)).astype(dt)
+        V0 = jax.lax.dynamic_slice(vecs_p, (jnp.int32(0), o), (N, C))
+        # slab columns >= b (a neighbor's live data) hit Vj's zeroed rows,
+        # so Vnew needs no input masking; they are preserved on write-back
+        Vnew = _einsum("ik,kj->ij", V0, Vj, precision=prec).astype(dt)
+        vecs_p = jax.lax.dynamic_update_slice(
+            vecs_p, jnp.where(ciota[None, :] < b, Vnew, V0),
+            (jnp.int32(0), o))
+        wcol = ws_l[i][:, None].astype(dt)
+        cur = jax.lax.dynamic_slice(blocks_p, (o, jnp.int32(0)), (C, 1))
+        blocks_p = jax.lax.dynamic_update_slice(
+            blocks_p, jnp.where(ciota[:, None] < b, wcol, cur),
+            (o, jnp.int32(0)))
+        return blocks_p, vecs_p
+
+    blocks_p, vecs_p = jax.lax.fori_loop(0, cnt, scatter,
+                                         (blocks_p, vecs_p))
+    blocks = jax.lax.slice(blocks_p, (0, 0), (N, N))
+    vecs = jax.lax.slice(vecs_p, (0, 0), (N, N))
     w = blocks[:, 0].real.astype(rdt)
     order = jnp.argsort(w)
     return w[order], vecs[:, order]
