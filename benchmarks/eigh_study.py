@@ -11,8 +11,9 @@ Prints one JSON line per (impl, size): steady ms, eigenvalue error vs numpy
 float64 (relative, against |w|_max), residual ||A V - V diag(w)||_F/||A||_F
 and orthogonality ||V^T V - I||_F measured in float64 on the host.
 
-Usage: eigh_study.py [sizes...] [--own] (--own adds the in-house rows;
-jnp rows always run).
+Usage: eigh_study.py [sizes...] [--own] [--own-only] (--own adds the
+in-house rows; --own-only skips the jnp rows, for re-measuring the
+in-house path against already-recorded XLA rows).
 """
 
 import json
@@ -33,8 +34,9 @@ def main():
     from cuda_qr_tpu.utils.timing import bench
 
     on_tpu = jax.default_backend() == "tpu"
-    own = "--own" in sys.argv
-    argv = [a for a in sys.argv[1:] if a != "--own"]
+    own_only = "--own-only" in sys.argv
+    own = "--own" in sys.argv or own_only
+    argv = [a for a in sys.argv[1:] if a not in ("--own", "--own-only")]
     sizes = [int(a) for a in argv] if argv else (
         [1024, 2048, 4096, 8192] if on_tpu else [256])
     rng = np.random.default_rng(7)
@@ -50,7 +52,8 @@ def main():
         w64 = np.linalg.eigvalsh(S.astype(np.float64))
         S64 = S.astype(np.float64)
 
-        impls = {"jnp.linalg.eigh": jax.jit(jnp.linalg.eigh)}
+        impls = {} if own_only else {
+            "jnp.linalg.eigh": jax.jit(jnp.linalg.eigh)}
         if own:
             from cuda_qr_tpu.models.eigh import eigh as own_eigh
             impls["cuda_qr_tpu.eigh"] = lambda a: own_eigh(a)

@@ -286,7 +286,9 @@ def caqr_factor(A: jnp.ndarray, mesh: Mesh,
         # this narrow block -- never on the wide trailing GEMM.  On real
         # hardware the ICI psums of panel kk+1 can then overlap panel kk's
         # MXU-bound wide update (async collectives); the per-column math is
-        # unchanged (larfb and the strip psum act columnwise).
+        # unchanged (larfb and the strip psum act columnwise).  NOTE: the
+        # overlap itself is UNVERIFIED on ICI (no multi-chip hardware any
+        # round; the virtual mesh validates correctness only).
         panel = a[:, :nb]
         for kk in range(k):
             pcol = kk * nb
