@@ -15,7 +15,11 @@ reps=30 on TPU (r5): the timed loop queues reps calls and forces one
 scalar, so each rep carries ~RTT/reps of tunnel latency -- at reps=10 and
 RTT ~100 ms that inflated the captured raw number by ~10 ms/call
 (docs/PERF.md "dispatch-floor illusion"); reps=30 matches the sweep
-discipline every README number uses.
+discipline every README number uses.  The headline MIXED phase runs at
+reps=60: the r5 sweep measured a further ~1.6 ms of per-dispatch overhead
+amortized between reps=30 and reps=60 on the same executable, and sixty
+26-ms calls cost under 2 s -- compile time, not measurement time, is the
+budget constraint.
 
 Baseline: the best vendor-library number in BASELINE.md -- MAGMA
 magma_sgeqrf2_gpu at 4096^2 fp32 = 299 GFLOP/s (timing.txt:23; the
@@ -94,6 +98,7 @@ def main():
                     factor_lookahead=4,
                     trailing_precision=jax.lax.Precision.HIGH)
     reps = 30 if on_tpu else 3
+    hreps = 60 if on_tpu else 3  # headline phase only (module docstring)
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     eps = float(jnp.finfo(jnp.float32).eps)
@@ -159,7 +164,7 @@ def main():
         RECORD["skipped_after"] = "insurance"
         emit()
         return 0
-    r = bench(lambda a: qr_blocked(a, mcfg), A, reps=reps,
+    r = bench(lambda a: qr_blocked(a, mcfg), A, reps=hreps,
               flops=qr_flops(m, n))
     RECORD.update({
         "metric": f"qr_gflops_{m}x{n}_fp32",
@@ -174,7 +179,7 @@ def main():
         # conservative headline
         "steady_net_ms": round(r.steady_net_s * 1e3, 1),
         "rtt_ms": round(r.rtt_s * 1e3, 1),
-        "reps": reps,
+        "reps": hreps,
         "compile_s": round(r.compile_s, 1),
         "backend": jax.default_backend(),
     })
