@@ -137,7 +137,7 @@ def main():
         As = jnp.asarray(rng.standard_normal((ms, ms)).astype(np.float32))
         rs = bench(lambda a: qr_blocked(a, QRConfig(dtype=jnp.float32,
                                                     scan_stages=4)),
-                   As, reps=10, flops=qr_flops(ms, ms))
+                   As, reps=30, flops=qr_flops(ms, ms))
         RECORD.update({
             "metric": f"qr_gflops_{ms}x{ms}_fp32",
             "value": round(rs.gflops, 1),
