@@ -11,9 +11,12 @@ Prints one JSON line per (impl, size): steady ms, eigenvalue error vs numpy
 float64 (relative, against |w|_max), residual ||A V - V diag(w)||_F/||A||_F
 and orthogonality ||V^T V - I||_F measured in float64 on the host.
 
-Usage: eigh_study.py [sizes...] [--own] [--own-only] (--own adds the
-in-house rows; --own-only skips the jnp rows, for re-measuring the
-in-house path against already-recorded XLA rows).
+Usage: eigh_study.py [sizes...] [--own] [--own-only] [--own-mixed]
+(--own adds the in-house rows; --own-only skips the jnp rows, for
+re-measuring the in-house path against already-recorded XLA rows;
+--own-mixed adds an in-house row whose internal QR trailing updates run
+at bf16x3 -- the certified-MIXED trade applied inside QDWH-eig, accuracy
+reported so the trade is auditable).
 """
 
 import json
@@ -35,8 +38,10 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     own_only = "--own-only" in sys.argv
+    own_mixed = "--own-mixed" in sys.argv
     own = "--own" in sys.argv or own_only
-    argv = [a for a in sys.argv[1:] if a not in ("--own", "--own-only")]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--own", "--own-only", "--own-mixed")]
     sizes = [int(a) for a in argv] if argv else (
         [1024, 2048, 4096, 8192] if on_tpu else [256])
     rng = np.random.default_rng(7)
@@ -52,11 +57,18 @@ def main():
         w64 = np.linalg.eigvalsh(S.astype(np.float64))
         S64 = S.astype(np.float64)
 
-        impls = {} if own_only else {
+        impls = {} if (own_only or own_mixed) else {
             "jnp.linalg.eigh": jax.jit(jnp.linalg.eigh)}
         if own:
             from cuda_qr_tpu.models.eigh import eigh as own_eigh
             impls["cuda_qr_tpu.eigh"] = lambda a: own_eigh(a)
+        if own_mixed:
+            from cuda_qr_tpu.models.eigh import eigh as own_eigh
+            from cuda_qr_tpu.utils.config import DEFAULT_CONFIG
+            mixed = DEFAULT_CONFIG.replace(
+                trailing_precision=jax.lax.Precision.HIGH)
+            impls["cuda_qr_tpu.eigh[mixed]"] = (
+                lambda a: own_eigh(a, mixed))
 
         for name, fn in impls.items():
             r = bench(fn, Sd, reps=10 if on_tpu else 3)
