@@ -55,6 +55,8 @@ def _config(args):
     if getattr(args, "stage_schedule", None):
         extra["stage_schedule"] = tuple(
             int(x) for x in args.stage_schedule.split(","))
+    if getattr(args, "mixed", False):
+        extra["trailing_precision"] = jax.lax.Precision.HIGH
     return QRConfig(dtype=dtype, use_pallas=not args.no_pallas,
                     tsqr_leaf=args.tsqr_leaf, **extra)
 
@@ -703,6 +705,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=12)   # qr.cu:765
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--mixed", action="store_true",
+                   help="certified-MIXED precision mode: trailing-update "
+                        "GEMMs at bf16x3 (~2x MXU rate), panel math at "
+                        "HIGHEST -- the CLI form of the bench headline "
+                        "mode (and of the reference's whole-pipeline "
+                        "Scalar macro, qr.cu:17).  Verification gates "
+                        "(resid < n*eps, orth < 4n*eps) stay on")
     p.add_argument("--tsqr-leaf", choices=["householder", "cholqr2"],
                    default="householder")
     p.add_argument("--stages", type=int, default=None,

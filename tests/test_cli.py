@@ -139,3 +139,21 @@ def test_cli_dist_svd_eigh_impl():
                        "--eigh-impl", "qdwh")
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["ok"] and rec["eigh_impl"] == "qdwh", rec
+
+
+def test_cli_mixed_mode():
+    """--mixed (certified-MIXED: trailing bf16x3) factors with gates on.
+
+    On CPU HIGH == HIGHEST numerically (no bf16 MXU passes), so this
+    validates the flag wiring and that verification stays enabled; the
+    precision trade itself is measured on TPU (RESULTS x14/x18)."""
+    out = run_cli("--no-pallas", "--trials", "1", "--mixed",
+                  "factor", "128", "64")
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"], rec
+    from cuda_qr_tpu.cli import _config
+    import argparse
+    import jax
+    ns = argparse.Namespace(dtype="f32", no_pallas=True,
+                            tsqr_leaf="householder", mixed=True)
+    assert _config(ns).trailing_precision == jax.lax.Precision.HIGH
