@@ -34,7 +34,8 @@ REFERENCE = {
 # the reference's perfectly linear blowup) out to 2^20, and the wider
 # n=128 column at the extended sizes.
 EXTENDED = [(262144, 64), (524288, 64), (1048576, 64),
-            (262144, 128), (524288, 128), (1048576, 128)]
+            (262144, 128), (524288, 128), (1048576, 128),
+            (2097152, 64), (2097152, 128)]
 
 
 def main():
